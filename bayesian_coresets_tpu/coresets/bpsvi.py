@@ -1,0 +1,113 @@
+"""Batch pseudocoreset variational inference (BatchPSVI).
+
+Covers the reference's ``bayesiancoresets/coreset/bpsvi.py:6-63``: initialize
+``sz`` synthetic pseudo-points by uniform subsampling with weights N/sz and
+idcs = -1, then *jointly* optimize weights and point locations by projected
+Adam, where every gradient step refits the sampler, redraws S posterior
+samples, and evaluates log-likelihood + datapoint-gradient projections.
+
+The hot contraction — ``ugrad = -(w ⊙ pgrads ⊙ resid).sum(samples)/S`` over a
+(sz, S, d) tensor (reference bpsvi.py:53) — is a single einsum that XLA fuses
+with the projection matmuls; the whole optimization is one jitted
+``lax.scan``.  Nonnegativity is enforced on the weight block only
+(reference nn_idcs = arange(sz), bpsvi.py:58).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.opt import nn_opt
+from ..utils import config
+from .coreset import Coreset
+from .projector import BlackBoxProjector, ProjectorFns, center_glls, center_lls
+
+
+@partial(jax.jit, static_argnames=("fns", "proj_dim", "sz", "n_sub_opt",
+                                   "opt_itrs", "step_sched"))
+def bpsvi_build(data, key, *, fns: ProjectorFns, proj_dim: int, sz: int,
+                n_sub_opt, opt_itrs: int, step_sched):
+    """Initialize and optimize a size-``sz`` pseudocoreset; returns (wts, pts)."""
+    n, d = data.shape
+    k_init, k_opt = jax.random.split(key)
+
+    # uniform without-replacement init (reference bpsvi.py:17-20)
+    init_idcs = jax.random.choice(k_init, n, (sz,), replace=False)
+    pts0 = data[init_idcs]
+    wts0 = jnp.full((sz,), n / sz, data.dtype)
+    x0 = jnp.concatenate([wts0, pts0.reshape(-1)])
+    nn_mask = jnp.arange(sz * (1 + d)) < sz         # clamp weights only
+
+    def grad_fn(x, k):
+        w = x[:sz]
+        u = x[sz:].reshape(sz, d)
+        k1, k2 = jax.random.split(k)
+        samples = fns.sample(k1, proj_dim, w, u)
+        if n_sub_opt is None:
+            vecs = center_lls(fns.loglik(data, samples))
+            scale = 1.0
+        else:
+            sub_idcs = jax.random.randint(k2, (n_sub_opt,), 0, n)
+            vecs = center_lls(fns.loglik(data[sub_idcs], samples))
+            scale = n / n_sub_opt
+        corevecs = center_lls(fns.loglik(u, samples))            # (sz, S)
+        pgrads = center_glls(fns.grad_loglik(u, samples))        # (sz, S, d)
+        resid = scale * jnp.sum(vecs, axis=0) - w @ corevecs     # (S,)
+        wgrad = -(corevecs @ resid) / proj_dim
+        ugrad = -jnp.einsum("m,msd,s->md", w, pgrads, resid) / proj_dim
+        return jnp.concatenate([wgrad, ugrad.reshape(-1)])
+
+    xf = nn_opt(x0, grad_fn, k_opt, nn_mask=nn_mask, opt_itrs=opt_itrs,
+                step_sched=step_sched)
+    return xf[:sz], xf[sz:].reshape(sz, d)
+
+
+class BatchPSVICoreset(Coreset):
+    """Stateful facade with the reference's API (bpsvi.py:7-13).
+
+    NOTE: as in the reference, ``build(sz)``'s argument is the pseudocoreset
+    SIZE, not an iteration count, and each call re-initializes.
+    """
+
+    def __init__(self, data, ll_projector, opt_itrs: int, n_subsample_opt=None,
+                 step_sched=lambda i: 1.0 / (1.0 + i), seed: int = 0):
+        super().__init__()
+        self.data = jnp.asarray(data, config.default_dtype())
+        if isinstance(ll_projector, BlackBoxProjector):
+            self.fns = ll_projector.fns
+            self.proj_dim = ll_projector.projection_dimension
+        else:
+            self.fns, self.proj_dim = ll_projector
+        if self.fns.grad_loglik is None:
+            raise ValueError("BatchPSVICoreset requires a grad_loglikelihood "
+                             "(reference projector.py:23-24)")
+        n = self.data.shape[0]
+        self.opt_itrs = int(opt_itrs)
+        self.n_subsample_opt = None if n_subsample_opt is None else min(n, int(n_subsample_opt))
+        self.step_sched = step_sched
+        self._seed = seed
+        self._key = jax.random.key(seed)
+
+    def reset(self):
+        self._key = jax.random.key(self._seed)
+        super().reset()
+
+    def _build(self, sz: int):
+        self._key, k = jax.random.split(self._key)
+        wts, pts = bpsvi_build(
+            self.data, k, fns=self.fns, proj_dim=self.proj_dim, sz=int(sz),
+            n_sub_opt=self.n_subsample_opt, opt_itrs=self.opt_itrs,
+            step_sched=self.step_sched)
+        self.wts = np.asarray(wts)
+        self.pts = np.asarray(pts)
+        self.idcs = -1 * np.ones(int(sz), dtype=np.int64)   # synthetic points
+
+    def _optimize(self):
+        pass  # joint optimization already runs inside _build (bpsvi.py:21-22)
+
+    def error(self) -> float:
+        return 0.0  # as in the reference (bpsvi.py:62-63)

@@ -1,0 +1,97 @@
+"""Conjugate multivariate-Gaussian model.
+
+Covers the reference's ``examples/common/model_gaussian.py:4-30``: batched
+log-likelihood, data-gradient, Gaussian-vs-Gaussian KL, and the closed-form
+weighted posterior.  All linear algebra is batched (Cholesky + triangular
+solves) and jittable; the (n, S) likelihood matrix comes from one
+``x @ Siginv @ th.T`` matmul chain that XLA maps onto the MXU.
+
+Model: x_i ~ N(theta, Sig), theta ~ N(mu0, Sig0).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+_LOG2PI = 1.8378770664093453
+
+
+def log_likelihood(x: jax.Array, th: jax.Array, Siginv: jax.Array, logdetSig) -> jax.Array:
+    """Batched Gaussian log-density; returns (n, S) for x:(n,d), th:(S,d).
+
+    Reference semantics: model_gaussian.py:4-11.
+    """
+    x = jnp.atleast_2d(x)
+    th = jnp.atleast_2d(th)
+    d = x.shape[1]
+    xS = x @ Siginv                                  # (n, d)
+    xSx = jnp.sum(xS * x, axis=1)                    # (n,)
+    thS = th @ Siginv                                # (S, d)
+    thSth = jnp.sum(thS * th, axis=1)                # (S,)
+    cross = jnp.dot(xS, th.T, preferred_element_type=jnp.float32)  # (n, S)
+    quad = xSx[:, None] + thSth[None, :] - 2.0 * cross
+    return -0.5 * d * _LOG2PI - 0.5 * logdetSig - 0.5 * quad
+
+
+def grad_x_log_likelihood(x: jax.Array, th: jax.Array, Siginv: jax.Array) -> jax.Array:
+    """Gradient wrt the datapoint x; returns (n, S, d) (model_gaussian.py:12-15)."""
+    x = jnp.atleast_2d(x)
+    th = jnp.atleast_2d(th)
+    return (th @ Siginv)[None, :, :] - (x @ Siginv)[:, None, :]
+
+
+def kl_divergence(mu0: jax.Array, Sig0: jax.Array, mu1: jax.Array, Sig1inv: jax.Array) -> jax.Array:
+    """KL( N(mu0, Sig0) || N(mu1, Sig1) ) with Sig1 given by its inverse.
+
+    Reference semantics: model_gaussian.py:17-21.
+    """
+    d = mu0.shape[0]
+    t1 = jnp.trace(Sig1inv @ Sig0)
+    dmu = mu1 - mu0
+    t2 = dmu @ (Sig1inv @ dmu)
+    t3 = -jnp.linalg.slogdet(Sig1inv)[1] - jnp.linalg.slogdet(Sig0)[1]
+    return 0.5 * (t1 + t2 + t3 - d)
+
+
+class WeightedPost(NamedTuple):
+    mu: jax.Array       # posterior mean (d,)
+    USig: jax.Array     # Sig = USig @ USig.T, upper triangular
+    LSigInv: jax.Array  # SigInv = LSigInv @ LSigInv.T, lower triangular
+
+
+def weighted_post(th0, Sig0inv, Siginv, x, w) -> WeightedPost:
+    """Closed-form weighted Gaussian posterior (model_gaussian.py:23-30).
+
+    Posterior precision = Sig0inv + (sum_i w_i) * Siginv;
+    posterior mean solves  Prec mu = Sig0inv th0 + Siginv sum_i w_i x_i.
+    Handles the empty-coreset case (all weights zero) identically to the
+    reference: the mean falls back to the prior mean only when w has length
+    zero there; here zero total weight yields the prior posterior naturally.
+    """
+    d = th0.shape[0]
+    wsum = jnp.sum(w)
+    prec = Sig0inv + wsum * Siginv
+    LSigInv = jnp.linalg.cholesky(prec)
+    eye = jnp.eye(d, dtype=LSigInv.dtype)
+    USig = solve_triangular(LSigInv, eye, lower=True).T
+    wx = jnp.sum(w[:, None] * jnp.atleast_2d(x), axis=0) if w.shape[0] > 0 else jnp.zeros(d, Sig0inv.dtype)
+    rhs = Sig0inv @ th0 + Siginv @ wx
+    mu = USig @ (USig.T @ rhs)
+    return WeightedPost(mu, USig, LSigInv)
+
+
+def sample_weighted_post(key, th0, Sig0inv, Siginv, x, w, n_samples: int) -> jax.Array:
+    """Draw n_samples thetas from the closed-form weighted posterior."""
+    post = weighted_post(th0, Sig0inv, Siginv, x, w)
+    z = jax.random.normal(key, (n_samples, th0.shape[0]), dtype=post.USig.dtype)
+    return post.mu + z @ post.USig.T
+
+
+def gen_synthetic(key, n: int, d: int, dtype=jnp.float32):
+    """Synthetic dataset matching the gaussian driver (gaussian/main.py:85)."""
+    th = jnp.ones(d, dtype)
+    return th + jax.random.normal(key, (n, d), dtype)

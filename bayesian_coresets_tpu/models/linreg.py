@@ -1,0 +1,95 @@
+"""Bayesian linear regression (conjugate, RBF-basis capable).
+
+Covers the reference's ``examples/common/model_linreg.py:4-37``: Gaussian
+likelihood with known noise variance sigsq, Gaussian prior, closed-form
+weighted posterior via Cholesky, and the data-gradient used by pseudocoreset
+optimization.  Rows z_i = [x_i, y_i] (features then response).
+
+Model: y_i ~ N(x_i . th, sigsq), th ~ N(th0, Sig0).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from .gaussian import WeightedPost, kl_divergence  # shared Gaussian KL (model_linreg.py:19-24)
+
+_LOG2PI = 1.8378770664093453
+
+__all__ = [
+    "log_likelihood",
+    "grad_x_log_likelihood",
+    "weighted_post",
+    "kl_divergence",
+    "rbf_features",
+]
+
+
+def _split(z):
+    z = jnp.atleast_2d(z)
+    return z[:, :-1], z[:, -1]
+
+
+def log_likelihood(z: jax.Array, th: jax.Array, sigsq) -> jax.Array:
+    """(n, S) Gaussian regression log-likelihood (model_linreg.py:4-11)."""
+    x, y = _split(z)
+    th = jnp.atleast_2d(th)
+    pred = jnp.dot(x, th.T, preferred_element_type=jnp.float32)      # (n, S)
+    resid_sq = y[:, None] ** 2 - 2.0 * pred * y[:, None] + pred**2
+    return -0.5 * jnp.log(2.0 * jnp.pi * sigsq) - resid_sq / (2.0 * sigsq)
+
+
+def grad_x_log_likelihood(z: jax.Array, th: jax.Array, sigsq) -> jax.Array:
+    """(n, S, d+1) gradient wrt the full row z = [x, y].
+
+    d/dx_j = (y - x.th) th_j / sigsq ; d/dy = -(y - x.th) / sigsq.
+    NOTE: the reference (model_linreg.py:13-17) uses +1 for the d/dy entry,
+    which is a sign slip; we implement the correct derivative (the reference
+    never exercises this path in its drivers).
+    """
+    x, y = _split(z)
+    th = jnp.atleast_2d(th)
+    r = (y[:, None] - jnp.dot(x, th.T, preferred_element_type=jnp.float32)) / sigsq  # (n,S)
+    dx = r[:, :, None] * th[None, :, :]
+    dy = -r[:, :, None]
+    return jnp.concatenate([dx, dy], axis=2)
+
+
+def weighted_post(th0, Sig0inv, sigsq, z, w) -> WeightedPost:
+    """Closed-form weighted posterior (model_linreg.py:26-37).
+
+    Precision = Sig0inv + X^T diag(w) X / sigsq;
+    mean solves Prec mu = Sig0inv th0 + X^T (w*y) / sigsq.
+    """
+    x, y = _split(z)
+    d = th0.shape[0]
+    xw = w[:, None] * x
+    prec = Sig0inv + jnp.dot(xw.T, x, preferred_element_type=jnp.float32) / sigsq
+    LSigInv = jnp.linalg.cholesky(prec)
+    eye = jnp.eye(d, dtype=LSigInv.dtype)
+    USig = solve_triangular(LSigInv, eye, lower=True).T
+    rhs = Sig0inv @ th0 + jnp.sum(w[:, None] * y[:, None] * x, axis=0) / sigsq
+    mu = USig @ (USig.T @ rhs)
+    return WeightedPost(mu, USig, LSigInv)
+
+
+def sample_weighted_post(key, th0, Sig0inv, sigsq, z, w, n_samples: int) -> jax.Array:
+    post = weighted_post(th0, Sig0inv, sigsq, z, w)
+    zs = jax.random.normal(key, (n_samples, th0.shape[0]), dtype=post.USig.dtype)
+    return post.mu + zs @ post.USig.T
+
+
+def rbf_features(x: jax.Array, centers: jax.Array, scales: jax.Array) -> jax.Array:
+    """Multi-scale RBF basis expansion used by the linear_regression driver
+    (reference examples/linear_regression/main.py:80-108): features
+    exp(-||x - c||^2 / (2 s^2)) for every (center, scale) pair, plus a
+    constant column appended by the caller if desired.
+
+    x: (n, p) raw inputs; centers: (k, p); scales: (m,).
+    Returns (n, k*m) features.
+    """
+    sq = jnp.sum((x[:, None, :] - centers[None, :, :]) ** 2, axis=-1)   # (n, k)
+    feats = jnp.exp(-sq[:, :, None] / (2.0 * scales[None, None, :] ** 2))
+    return feats.reshape(x.shape[0], -1)

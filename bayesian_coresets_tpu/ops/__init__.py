@@ -1,0 +1,39 @@
+"""Numerical kernels: sparse NNLS solvers, on-chip NNLS, projected Adam.
+
+TPU-native replacement for the reference's L1 layer
+(``bayesiancoresets/snnls`` + ``bayesiancoresets/util/opt.py``); see
+SURVEY.md §1/§2.1.
+"""
+
+from .nnls import nnls_active_set, nnls_gram
+from .opt import nn_opt
+from .snnls import (
+    GIGA,
+    FrankWolfe,
+    ImportanceSampling,
+    OrthoPursuit,
+    SNNLSConsts,
+    SNNLSState,
+    SparseNNLS,
+    UniformSampling,
+    build,
+    init_state,
+    make_consts,
+)
+
+__all__ = [
+    "GIGA",
+    "FrankWolfe",
+    "OrthoPursuit",
+    "ImportanceSampling",
+    "UniformSampling",
+    "SparseNNLS",
+    "SNNLSConsts",
+    "SNNLSState",
+    "build",
+    "init_state",
+    "make_consts",
+    "nnls_active_set",
+    "nnls_gram",
+    "nn_opt",
+]

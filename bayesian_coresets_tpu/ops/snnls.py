@@ -1,0 +1,453 @@
+"""Sparse non-negative least squares solvers as jitted state machines.
+
+TPU-native redesign of the reference's ``bayesiancoresets/snnls`` package
+(snnls/snnls.py, giga.py, frankwolfe.py, orthopursuit.py, sampling.py).
+
+Key departures from the reference architecture:
+
+- **One jit, M iterations.**  ``build`` runs the whole greedy loop inside a
+  single ``lax.while_loop`` — no per-iteration host round trips.
+- **Incremental O(S) reweighting.**  Every solver's weight update has the
+  form ``w <- alpha*w; w[f] += beta``, so the cached residual image
+  ``xw = A @ w`` updates as ``alpha*xw + delta*A[:, f]`` instead of a fresh
+  O(S·n) matvec; an exact matvec refresh runs every ``REFRESH_EVERY``
+  iterations to bound f32 drift.
+- **Branchless numerics control flow.**  The reference's
+  ``NumericalPrecisionError`` + try/except rollback/retry/latch
+  (snnls/snnls.py:40-74) becomes a success flag per step: on failure the
+  candidate state is discarded (``jnp.where``), a consecutive-failure
+  counter increments, and two consecutive failures latch ``done`` —
+  identical semantics, no exceptions.
+- **Static shapes with validity masks.**  Padded/zero columns carry
+  ``valid=False`` and can never be selected, so subsampled problems keep a
+  fixed trace shape across trials.
+- **Data-point-major layout.**  The projection matrix is stored as
+  ``V = A.T`` with shape (n, S): scores for all n candidates are one
+  (n,S)@(S,2) matmul that XLA tiles onto the MXU, and the global argmax
+  reduces over the sharded n axis (collectives inserted by XLA when V is
+  sharded; see parallel/).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import config
+from .nnls import nnls_active_set
+
+REFRESH_EVERY = 64  # exact xw = A@w recompute cadence (f32 drift control)
+_NEG_INF = -jnp.inf
+
+
+class SNNLSConsts(NamedTuple):
+    """Problem constants shared by all solvers."""
+
+    V: jax.Array       # (n, S) = A.T, rows are per-datum feature vectors
+    b: jax.Array       # (S,) target vector
+    norms: jax.Array   # (n,) column norms ||A[:, i]|| (1 for invalid columns)
+    bnorm: jax.Array   # scalar ||b||
+    valid: jax.Array   # (n,) bool mask of selectable columns
+    ps: jax.Array      # (n,) sampling probabilities (IS/US; zeros elsewhere)
+
+
+class SNNLSState(NamedTuple):
+    """Mutable solver state carried through the build loop."""
+
+    w: jax.Array       # (n,) weights
+    xw: jax.Array      # (S,) cached A @ w
+    cts: jax.Array     # (n,) selection counts (sampling solvers)
+    idcs: jax.Array    # (K,) active-slot indices (OMP bookkeeping; size-0 else)
+    size: jax.Array    # int32 number of active slots (OMP)
+    itr: jax.Array     # int32 total iterations attempted (lifetime)
+    fail: jax.Array    # int32 consecutive failed iterations
+    done: jax.Array    # bool: numeric limit latched (snnls/snnls.py:66-69)
+    key: jax.Array     # PRNG key (sampling solvers)
+
+
+@partial(jax.jit, static_argnames=("sampling",))
+def _make_consts(V, b, valid, sampling) -> SNNLSConsts:
+    norms = jnp.sqrt(jnp.sum(V * V, axis=1))
+    valid = valid & (norms > 0)
+    norms = jnp.where(valid, norms, 1.0)
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    if sampling == "importance":
+        raw = jnp.where(valid, norms, 0.0)
+        tot = jnp.sum(raw)
+        nv = jnp.sum(valid)
+        ps = jnp.where(tot > 0, raw / jnp.where(tot > 0, tot, 1.0),
+                       jnp.where(valid, 1.0 / jnp.maximum(nv, 1), 0.0))
+    elif sampling == "uniform":
+        nv = jnp.maximum(jnp.sum(valid), 1)
+        ps = jnp.where(valid, 1.0 / nv, 0.0)
+    else:
+        ps = jnp.zeros(V.shape[0], dtype=V.dtype)
+    return SNNLSConsts(V, b, norms, bnorm, valid, ps)
+
+
+def make_consts(A: jax.Array, b: jax.Array, valid: jax.Array | None = None,
+                sampling: str | None = None) -> SNNLSConsts:
+    """Precompute solver constants from A (S, n) and b (S,)."""
+    V = jnp.asarray(A).T
+    b = jnp.asarray(b)
+    if valid is None:
+        valid = jnp.ones(V.shape[0], dtype=bool)
+    return _make_consts(V, b, jnp.asarray(valid), sampling)
+
+
+def init_state(consts: SNNLSConsts, key: jax.Array | None = None,
+               max_active: int = 0) -> SNNLSState:
+    n, S = consts.V.shape
+    dt = consts.V.dtype
+    if key is None:
+        key = jax.random.key(0)
+    return SNNLSState(
+        w=jnp.zeros(n, dt),
+        xw=jnp.zeros(S, dt),
+        cts=jnp.zeros(n, dt),
+        idcs=jnp.full((max_active,), -1, jnp.int32),
+        size=jnp.int32(0),
+        itr=jnp.int32(0),
+        fail=jnp.int32(0),
+        done=jnp.array(False),
+        key=key,
+    )
+
+
+@jax.jit
+def error(consts: SNNLSConsts, w: jax.Array) -> jax.Array:
+    """||A w - b||_2 (snnls/snnls.py:28-29)."""
+    xw = jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
+    return jnp.sqrt(jnp.sum((xw - consts.b) ** 2))
+
+
+def _cached_error(consts: SNNLSConsts, xw: jax.Array) -> jax.Array:
+    return jnp.sqrt(jnp.sum((xw - consts.b) ** 2))
+
+
+def _safe_div(a, d):
+    return a / jnp.where(d == 0, 1.0, d)
+
+
+def _normalize(x):
+    n = jnp.sqrt(jnp.sum(x * x))
+    n = jnp.where(n == 0, 1.0, n)
+    return x / n, n
+
+
+def _rank1_update(state: SNNLSState, consts: SNNLSConsts, f, alpha, beta):
+    """w <- alpha*w; w[f] = max(0, w[f] + beta); update cached xw exactly."""
+    old_wf = state.w[f]
+    new_wf = jnp.maximum(0.0, alpha * old_wf + beta)
+    w = (alpha * state.w).at[f].set(new_wf)
+    delta = new_wf - alpha * old_wf
+    xw = alpha * state.xw + delta * consts.V[f]
+    return w, xw
+
+
+# ---------------------------------------------------------------------------
+# GIGA — greedy iterative geodesic ascent (reference snnls/giga.py:6-64)
+# ---------------------------------------------------------------------------
+
+def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol):
+    bn = _safe_div(consts.b, consts.bnorm)
+    xwn, _ = _normalize(state.xw)
+
+    cdir = bn - jnp.dot(bn, xwn) * xwn
+    cdirnrm = jnp.sqrt(jnp.sum(cdir * cdir))
+    ok_sel = cdirnrm >= tol                         # giga.py:27-29
+    cdirn = _safe_div(cdir, cdirnrm)
+
+    # scores for every candidate: one thin matmul (n,S)@(S,2)
+    dirs = jnp.stack([cdirn, xwn], axis=1)          # (S, 2)
+    dots = jnp.dot(consts.V, dirs, preferred_element_type=jnp.float32)
+    dots = dots / consts.norms[:, None]             # == An^T [cdir, xw]
+    d1 = dots[:, 1]
+    geo_ok = (d1 > -1.0 + 1e-14) & (1.0 - d1 * d1 > 0.0)   # giga.py:33
+    denom = jnp.sqrt(jnp.clip(1.0 - d1 * d1, 1e-30, None))
+    score = jnp.where(geo_ok, dots[:, 0] / denom, 0.0)     # giga.py:34-37
+    score = jnp.where(consts.valid, score, _NEG_INF)
+    f = jnp.argmax(score)
+
+    # reweight (giga.py:40-64), O(S) via cached xw
+    xf = consts.V[f]
+    nf = consts.norms[f]
+    xfn = xf / nf
+    bxw = jnp.dot(bn, xwn)
+    bxf = jnp.dot(bn, xfn)
+    xwxf = jnp.dot(xwn, xfn)
+    gA = bxf - bxw * xwxf
+    gB = bxw - bxf * xwxf
+    ok_rw = (gA > 0.0) & (gB >= 0.0)                # giga.py:50-51
+
+    gsum = jnp.where(gA + gB == 0, 1.0, gA + gB)
+    _, nw = _normalize(state.xw)
+    a = gB / gsum / nw
+    c = gA / gsum / nf
+    x = a * state.xw + c * xf
+    xn, _ = _normalize(x)
+    nx = jnp.sqrt(jnp.sum(x * x))
+    scale = _safe_div(consts.bnorm, nx) * jnp.dot(xn, bn)
+    alpha, beta = a * scale, c * scale
+
+    w, xw = _rank1_update(state, consts, f, alpha, beta)
+    return w, xw, state.cts, state.idcs, state.size, state.key, ok_sel & ok_rw
+
+
+# ---------------------------------------------------------------------------
+# Frank-Wolfe (reference snnls/frankwolfe.py:5-40)
+# ---------------------------------------------------------------------------
+
+def _fw_step(consts: SNNLSConsts, state: SNNLSState, tol):
+    resid = consts.b - state.xw
+    dots = jnp.dot(consts.V, resid, preferred_element_type=jnp.float32) / consts.norms
+    dots = jnp.where(consts.valid, dots, _NEG_INF)
+    f = jnp.argmax(dots)
+
+    nsum = jnp.sum(jnp.where(consts.valid, consts.norms, 0.0))
+    nf = consts.norms[f]
+    xf = consts.V[f]
+    size_zero = ~jnp.any(state.w > 0)
+
+    # line search (frankwolfe.py:26-37)
+    dvec = nsum / nf * xf - state.xw
+    gammanum = jnp.dot(dvec, resid)
+    gammadenom = jnp.sum(dvec * dvec)
+    ok = (gammanum >= 0.0) & (gammadenom > 0.0) & (gammanum <= gammadenom)
+    gamma = _safe_div(gammanum, gammadenom)
+    alpha = jnp.where(size_zero, 0.0, 1.0 - gamma)
+    beta = jnp.where(size_zero, nsum / nf, nsum / nf * gamma)
+    ok = ok | size_zero                              # first-point vertex init
+
+    w, xw = _rank1_update(state, consts, f, alpha, beta)
+    return w, xw, state.cts, state.idcs, state.size, state.key, ok
+
+
+# ---------------------------------------------------------------------------
+# Orthogonal (matching) pursuit (reference snnls/orthopursuit.py:7-42)
+# ---------------------------------------------------------------------------
+
+def _omp_step(consts: SNNLSConsts, state: SNNLSState, tol, nnls_iters: int = 256):
+    resid = consts.b - state.xw
+    dots = jnp.dot(consts.V, resid, preferred_element_type=jnp.float32) / consts.norms
+    pos_dots = jnp.where(consts.valid, dots, _NEG_INF)
+    fpos = jnp.argmax(pos_dots)
+    active = state.w > 0
+    neg_dots = jnp.where(active, -dots, _NEG_INF)
+    fneg = jnp.argmax(neg_dots)
+    any_active = jnp.any(active)
+    f = jnp.where(~any_active | (pos_dots[fpos] >= neg_dots[fneg]), fpos, fneg)
+
+    # append f to active slots if new (static-size bookkeeping)
+    already = jnp.any((state.idcs == f) & (jnp.arange(state.idcs.shape[0]) < state.size))
+    slot = jnp.minimum(state.size, state.idcs.shape[0] - 1)
+    idcs = jnp.where(already, state.idcs, state.idcs.at[slot].set(f))
+    size = jnp.where(already, state.size, jnp.minimum(state.size + 1, state.idcs.shape[0]))
+
+    # full NNLS on the active set (orthopursuit.py:37-41), small gathered system
+    w_act = nnls_active_set(consts.V, consts.b, idcs, size, num_iters=nnls_iters)
+    w = jnp.zeros_like(state.w).at[idcs].add(
+        jnp.where(jnp.arange(idcs.shape[0]) < size, w_act, 0.0))
+    xw = jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
+    return w, xw, state.cts, idcs, size, state.key, jnp.array(True)
+
+
+# ---------------------------------------------------------------------------
+# Importance / uniform sampling (reference snnls/sampling.py:6-37)
+# ---------------------------------------------------------------------------
+
+def _sampling_step(consts: SNNLSConsts, state: SNNLSState, tol):
+    key, sub = jax.random.split(state.key)
+    logp = jnp.where(consts.ps > 0, jnp.log(jnp.where(consts.ps > 0, consts.ps, 1.0)),
+                     _NEG_INF)
+    f = jax.random.categorical(sub, logp)
+    cts = state.cts.at[f].add(1.0)
+    w = jnp.where(consts.ps > 0, (cts / jnp.sum(cts)) / jnp.where(consts.ps > 0, consts.ps, 1.0), 0.0)
+    xw = jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
+    return w, xw, cts, state.idcs, state.size, key, jnp.array(True)
+
+
+_STEP_FNS = {
+    "giga": _giga_step,
+    "frankwolfe": _fw_step,
+    "orthopursuit": _omp_step,
+    "importance": _sampling_step,
+    "uniform": _sampling_step,
+}
+_CHECK_MONOTONE = {
+    "giga": True,
+    "frankwolfe": True,
+    "orthopursuit": True,
+    "importance": False,   # sampling.py:16
+    "uniform": False,
+}
+
+
+# ---------------------------------------------------------------------------
+# Shared greedy build loop (reference snnls/snnls.py:31-79)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("method",), donate_argnums=(1,))
+def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga") -> SNNLSState:
+    """Run up to ``itrs`` greedy iterations (continues from current state)."""
+    step_fn = _STEP_FNS[method]
+    check_monotone = _CHECK_MONOTONE[method]
+    itr_end = state.itr + jnp.asarray(itrs, jnp.int32)
+
+    def cond(s: SNNLSState):
+        return (s.itr < itr_end) & ~s.done
+
+    def body(s: SNNLSState) -> SNNLSState:
+        # periodic exact refresh of the cached matvec (f32 drift control)
+        xw = jax.lax.cond(
+            s.itr % REFRESH_EVERY == 0,
+            lambda: jnp.dot(consts.V.T, s.w, preferred_element_type=jnp.float32),
+            lambda: s.xw,
+        )
+        s = s._replace(xw=xw)
+
+        size_nonzero = jnp.any(s.w > 0)
+        prev_err = _cached_error(consts, s.xw)
+
+        w2, xw2, cts2, idcs2, size2, key2, ok = step_fn(consts, s, tol)
+
+        if check_monotone:
+            new_err = _cached_error(consts, xw2)
+            # fail iff error strictly increased beyond tolerance slack
+            # (reference snnls.py:54-61 uses exact >; tol gives f32 headroom)
+            monotone_ok = ~size_nonzero | (new_err <= prev_err * (1.0 + tol))
+            ok = ok & monotone_ok & jnp.isfinite(new_err)
+
+        fail = jnp.where(ok, 0, s.fail + 1)
+        done = fail >= 2                             # retry-once-then-latch
+        commit = ok
+
+        return SNNLSState(
+            w=jnp.where(commit, w2, s.w),
+            xw=jnp.where(commit, xw2, s.xw),
+            cts=jnp.where(commit, cts2, s.cts),
+            idcs=jnp.where(commit, idcs2, s.idcs),
+            size=jnp.where(commit, size2, s.size),
+            itr=s.itr + 1,
+            fail=fail,
+            done=s.done | done,
+            key=key2,
+        )
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+@jax.jit
+def optimize_active(consts: SNNLSConsts, state: SNNLSState, idcs: jax.Array,
+                    size, tol, num_iters: int = 512):
+    """Re-solve weights on the current active set (snnls/snnls.py:81-97).
+
+    ``idcs`` are the active column indices (padded); returns the candidate
+    state and whether it improved the cost (caller rolls back otherwise).
+    """
+    w_act = nnls_active_set(consts.V, consts.b, idcs, size, num_iters=num_iters)
+    mask = jnp.arange(idcs.shape[0]) < size
+    w = jnp.zeros_like(state.w).at[idcs].add(jnp.where(mask, w_act, 0.0))
+    xw = jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
+    prev_cost = _cached_error(consts, jnp.dot(consts.V.T, state.w, preferred_element_type=jnp.float32))
+    new_cost = _cached_error(consts, xw)
+    ok = new_cost <= prev_cost * (1.0 + tol)
+    new_state = state._replace(
+        w=jnp.where(ok, w, state.w),
+        xw=jnp.where(ok, xw, state.xw),
+        done=state.done | ~ok,
+    )
+    return new_state, ok
+
+
+# ---------------------------------------------------------------------------
+# Stateful wrappers with the reference's user-facing API
+# ---------------------------------------------------------------------------
+
+class SparseNNLS:
+    """Stateful facade over the jitted functional core.
+
+    Same API as the reference base class (snnls/snnls.py:8-106):
+    ``build(itrs)``, ``optimize()``, ``weights()``, ``error()``, ``size()``,
+    ``reset()`` and the ``reached_numeric_limit`` latch.
+    """
+
+    method: str = "giga"
+
+    def __init__(self, A, b, valid=None, seed: int = 0, max_active: int | None = None):
+        A = jnp.asarray(A, config.default_dtype())
+        b = jnp.asarray(b, config.default_dtype())
+        sampling = self.method if self.method in ("importance", "uniform") else None
+        self.consts = make_consts(A, b, valid=valid, sampling=sampling)
+        if self.method in ("giga", "frankwolfe", "orthopursuit"):
+            # replicate the reference's zero-column rejection (giga.py:11-13);
+            # explicitly-masked (padded) columns are exempt.
+            requested = jnp.ones(A.shape[1], bool) if valid is None else jnp.asarray(valid)
+            if bool(jnp.any(requested & ~self.consts.valid)):
+                raise ValueError(f"{type(self).__name__}: A must not have any 0 columns")
+        if self.method == "giga" and float(self.consts.bnorm) == 0.0:
+            from ..utils.errors import NumericalPrecisionError
+            raise NumericalPrecisionError("norm of b must be > 0")
+        n = self.consts.V.shape[0]
+        self._max_active = int(max_active) if max_active is not None else min(n, 1024)
+        self._seed = seed
+        self.state = init_state(self.consts, jax.random.key(seed), self._max_active)
+
+    # -- reference API ------------------------------------------------------
+    def reset(self):
+        self.state = init_state(self.consts, jax.random.key(self._seed), self._max_active)
+
+    def size(self) -> int:
+        return int(jnp.sum(self.state.w > 0))
+
+    def weights(self):
+        import numpy as np
+        return np.asarray(self.state.w)
+
+    def error(self) -> float:
+        return float(error(self.consts, self.state.w))
+
+    @property
+    def reached_numeric_limit(self) -> bool:
+        return bool(self.state.done)
+
+    def build(self, itrs: int):
+        if self.reached_numeric_limit or self.consts.V.size == 0 or itrs <= 0:
+            return
+        self.state = build(self.consts, self.state, itrs, config.TOL, method=self.method)
+
+    def optimize(self):
+        import numpy as np
+        w = np.asarray(self.state.w)
+        act = np.flatnonzero(w > 0)
+        if act.size == 0:
+            return
+        pad = int(2 ** int(np.ceil(np.log2(max(act.size, 8)))))
+        idcs = np.zeros(pad, dtype=np.int32)
+        idcs[: act.size] = act
+        self.state, _ = optimize_active(
+            self.consts, self.state, jnp.asarray(idcs), jnp.int32(act.size), config.TOL
+        )
+
+
+class GIGA(SparseNNLS):
+    method = "giga"
+
+
+class FrankWolfe(SparseNNLS):
+    method = "frankwolfe"
+
+
+class OrthoPursuit(SparseNNLS):
+    method = "orthopursuit"
+
+
+class ImportanceSampling(SparseNNLS):
+    method = "importance"
+
+
+class UniformSampling(SparseNNLS):
+    method = "uniform"

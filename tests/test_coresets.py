@@ -1,0 +1,160 @@
+"""Coreset-layer end-to-end tests on the conjugate Gaussian model.
+
+The closed-form weighted posterior (reference model_gaussian.py:23-30) gives
+exact quality metrics with zero MCMC noise — the same strategy as the
+reference's gaussian driver (examples/gaussian/main.py:200-207).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bayesian_coresets_tpu as bct
+from bayesian_coresets_tpu.models import gaussian
+from bayesian_coresets_tpu.ops import GIGA, FrankWolfe
+
+
+@pytest.fixture(scope="module")
+def gauss_setup():
+    d, N, S = 10, 400, 100
+    x = gaussian.gen_synthetic(jax.random.key(1), N, d)
+    mu0 = jnp.zeros(d)
+    Sig0inv = jnp.eye(d)
+    Siginv = jnp.eye(d)
+    post = gaussian.weighted_post(mu0, Sig0inv, Siginv, x, jnp.ones(N))
+    SigpInv = np.asarray(post.LSigInv @ post.LSigInv.T)
+
+    loglik = lambda pts, th: gaussian.log_likelihood(pts, th, Siginv, 0.0)
+    gradll = lambda pts, th: gaussian.grad_x_log_likelihood(pts, th, Siginv)
+
+    def sampler_opt(k, n, wts, pts):
+        return gaussian.sample_weighted_post(k, mu0, Sig0inv, Siginv, x, jnp.ones(N), n)
+
+    def sampler_bb(k, n, wts, pts):
+        if pts.size == 0:
+            wts = jnp.zeros(1)
+            pts = jnp.zeros((1, d))
+        return gaussian.sample_weighted_post(k, mu0, Sig0inv, Siginv, pts, wts, n)
+
+    def rkl(wts, pts):
+        wp = gaussian.weighted_post(mu0, Sig0inv, Siginv,
+                                    jnp.asarray(np.atleast_2d(np.asarray(pts, np.float32))),
+                                    jnp.asarray(np.asarray(wts, np.float32)))
+        return float(gaussian.kl_divergence(wp.mu, wp.USig @ wp.USig.T, post.mu, SigpInv))
+
+    return dict(x=x, d=d, N=N, S=S, loglik=loglik, gradll=gradll,
+                sampler_opt=sampler_opt, sampler_bb=sampler_bb, rkl=rkl)
+
+
+class TestHilbert:
+    def test_giga_quality_improves(self, gauss_setup):
+        g = gauss_setup
+        hc = bct.HilbertCoreset(g["x"], bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"]))
+        kls = []
+        prev = 0
+        for M in [10, 50, 150]:
+            hc.build(M - prev)
+            prev = M
+            w, p, i = hc.get()
+            assert (w > 0).all()
+            assert hc.size() <= M
+            kls.append(g["rkl"](w, p))
+        assert kls[-1] < kls[0] / 100.0
+        assert kls[-1] < 0.1
+
+    def test_subsampled(self, gauss_setup):
+        g = gauss_setup
+        hc = bct.HilbertCoreset(g["x"], bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"]),
+                                n_subsample=200)
+        hc.build(100)
+        w, p, i = hc.get()
+        # quality floor is set by the subsample, not the solver; just require
+        # a big improvement over the empty coreset (rkl ~ O(100))
+        assert g["rkl"](w, p) < 20.0
+        assert np.unique(i).shape[0] == i.shape[0]  # no duplicate data indices
+
+    def test_pluggable_solver(self, gauss_setup):
+        g = gauss_setup
+        hc = bct.HilbertCoreset(g["x"], bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"]),
+                                snnls=FrankWolfe)
+        hc.build(100)
+        w, p, i = hc.get()
+        assert g["rkl"](w, p) < 5.0
+
+    def test_optimize_improves_or_keeps_error(self, gauss_setup):
+        g = gauss_setup
+        hc = bct.HilbertCoreset(g["x"], bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"]))
+        hc.build(60)
+        e = hc.error()
+        hc.optimize()
+        assert hc.error() <= e * (1 + 1e-4)
+
+    def test_reset(self, gauss_setup):
+        g = gauss_setup
+        hc = bct.HilbertCoreset(g["x"], bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"]))
+        hc.build(20)
+        hc.reset()
+        assert hc.size() == 0
+        w, p, i = hc.get()
+        assert w.shape[0] == 0
+
+
+class TestSparseVI:
+    def test_build_and_quality(self, gauss_setup):
+        g = gauss_setup
+        svi = bct.SparseVICoreset(g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"]),
+                                  opt_itrs=30)
+        svi.build(10)
+        w, p, i = svi.get()
+        assert svi.size() <= 10
+        assert (w >= 0).all()
+        assert g["rkl"](w, p) < 100.0
+        svi.build(10)
+        assert svi.size() <= 20
+
+    def test_subsampled_select(self, gauss_setup):
+        g = gauss_setup
+        svi = bct.SparseVICoreset(g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"]),
+                                  n_subsample_select=100, n_subsample_opt=100, opt_itrs=20)
+        svi.build(5)
+        assert svi.size() <= 5
+
+    def test_unique_indices(self, gauss_setup):
+        g = gauss_setup
+        svi = bct.SparseVICoreset(g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"]),
+                                  opt_itrs=10)
+        svi.build(15)
+        assert np.unique(svi.idcs).shape[0] == svi.idcs.shape[0]
+
+
+class TestBPSVI:
+    def test_build_and_quality(self, gauss_setup):
+        g = gauss_setup
+        bp = bct.BatchPSVICoreset(
+            g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"], g["gradll"]),
+            opt_itrs=60)
+        bp.build(10)
+        w, p, i = bp.get()
+        assert w.shape[0] == 10
+        assert (w >= 0).all()
+        assert (i == -1).all()  # synthetic points
+        assert g["rkl"](w, p) < 30.0
+
+    def test_requires_grad(self, gauss_setup):
+        g = gauss_setup
+        with pytest.raises(ValueError):
+            bct.BatchPSVICoreset(g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"]),
+                                 opt_itrs=10)
+
+
+class TestUniform:
+    def test_weights_sum(self, gauss_setup):
+        g = gauss_setup
+        us = bct.UniformSamplingCoreset(g["x"])
+        us.build(50)
+        w, p, i = us.get()
+        np.testing.assert_allclose(w.sum(), g["N"], rtol=1e-6)
+        us.build(50)
+        w2, _, _ = us.get()
+        np.testing.assert_allclose(w2.sum(), g["N"], rtol=1e-6)

@@ -1,0 +1,191 @@
+"""Model-layer golden tests: closed forms vs autodiff and NumPy re-derivations.
+
+The reference ships no tests (SURVEY.md §4); these validate our stable
+closed-form gradients/Hessians against jax autodiff and the conjugate
+posteriors against direct NumPy solves.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_coresets_tpu.models import gaussian, linreg, logistic, poisson
+from bayesian_coresets_tpu.models.laplace import laplace_approx, sample_laplace
+
+
+def _as_np(x):
+    return np.asarray(x, dtype=np.float64)
+
+
+class TestGaussian:
+    def test_log_likelihood_matches_direct(self, rng):
+        d, n, S = 4, 7, 5
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        th = rng.normal(size=(S, d)).astype(np.float32)
+        A = rng.normal(size=(d, d))
+        Sig = (A @ A.T + d * np.eye(d)).astype(np.float32)
+        Siginv = np.linalg.inv(Sig).astype(np.float32)
+        logdet = np.linalg.slogdet(Sig)[1]
+        got = np.asarray(gaussian.log_likelihood(x, th, Siginv, logdet))
+        # direct multivariate normal log-pdf
+        from scipy.stats import multivariate_normal
+        want = np.stack([multivariate_normal.logpdf(x, mean=t, cov=Sig) for t in th], axis=1)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_grad_x_matches_autodiff(self, rng):
+        d, n, S = 3, 4, 2
+        x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        th = jnp.asarray(rng.normal(size=(S, d)), jnp.float32)
+        Siginv = jnp.eye(d) * 2.0
+        got = gaussian.grad_x_log_likelihood(x, th, Siginv)
+        f = lambda xi, ti: gaussian.log_likelihood(xi[None], ti[None], Siginv, 0.0)[0, 0]
+        want = jax.vmap(lambda xi: jax.vmap(lambda ti: jax.grad(f)(xi, ti))(th))(x)
+        np.testing.assert_allclose(_as_np(got), _as_np(want), rtol=1e-4, atol=1e-4)
+
+    def test_weighted_post_solves_normal_equations(self, rng):
+        d, n = 5, 20
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        w = rng.uniform(0, 2, size=n).astype(np.float32)
+        th0 = rng.normal(size=d).astype(np.float32)
+        Sig0inv = np.eye(d, dtype=np.float32) * 0.5
+        Siginv = np.eye(d, dtype=np.float32) * 1.5
+        post = gaussian.weighted_post(th0, Sig0inv, Siginv, x, w)
+        prec = Sig0inv + w.sum() * Siginv
+        mu_want = np.linalg.solve(prec, Sig0inv @ th0 + Siginv @ (w[:, None] * x).sum(0))
+        np.testing.assert_allclose(_as_np(post.mu), mu_want, rtol=1e-4, atol=1e-4)
+        Sig = _as_np(post.USig) @ _as_np(post.USig).T
+        np.testing.assert_allclose(Sig, np.linalg.inv(prec), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(_as_np(post.LSigInv) @ _as_np(post.LSigInv).T, prec,
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_kl_properties(self, rng):
+        d = 4
+        mu = rng.normal(size=d).astype(np.float32)
+        Sig = np.eye(d, dtype=np.float32)
+        assert abs(float(gaussian.kl_divergence(mu, Sig, mu, Sig))) < 1e-4
+        mu2 = mu + 1.0
+        assert float(gaussian.kl_divergence(mu, Sig, mu2, Sig)) > 0.1
+
+
+class TestLogistic:
+    def test_grads_match_autodiff(self, rng):
+        d, n, S = 3, 5, 4
+        z = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        th = jnp.asarray(rng.normal(size=(S, d)), jnp.float32)
+        f = lambda zi, ti: logistic.log_likelihood(zi[None], ti[None])[0, 0]
+        want_th = jax.vmap(lambda zi: jax.vmap(lambda ti: jax.grad(f, 1)(zi, ti))(th))(z)
+        np.testing.assert_allclose(_as_np(logistic.grad_th_log_likelihood(z, th)),
+                                   _as_np(want_th), rtol=1e-4, atol=1e-5)
+        want_z = jax.vmap(lambda zi: jax.vmap(lambda ti: jax.grad(f, 0)(zi, ti))(th))(z)
+        np.testing.assert_allclose(_as_np(logistic.grad_z_log_likelihood(z, th)),
+                                   _as_np(want_z), rtol=1e-4, atol=1e-5)
+
+    def test_hessian_matches_autodiff(self, rng):
+        d, n = 3, 6
+        z = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        th = jnp.asarray(rng.normal(size=(1, d)), jnp.float32)
+        w = jnp.asarray(rng.uniform(0.5, 1.5, size=n), jnp.float32)
+        got = logistic.hess_th_log_joint(z, th, w)[0]
+        f = lambda t: logistic.log_joint(z, t[None], w)[0]
+        want = jax.hessian(f)(th[0])
+        np.testing.assert_allclose(_as_np(got), _as_np(want), rtol=1e-3, atol=1e-4)
+        diag = logistic.diag_hess_th_log_joint(z, th, w)[0]
+        np.testing.assert_allclose(_as_np(diag), np.diag(_as_np(want)), rtol=1e-3, atol=1e-4)
+
+    def test_stability_extreme_logits(self):
+        z = jnp.array([[100.0, 0.0], [-100.0, 0.0]], jnp.float32)
+        th = jnp.array([[10.0, 0.0]], jnp.float32)
+        ll = logistic.log_likelihood(z, th)
+        assert np.isfinite(_as_np(ll)).all()
+        g = logistic.grad_th_log_likelihood(z, th)
+        assert np.isfinite(_as_np(g)).all()
+
+
+class TestPoisson:
+    def _data(self, rng, n=6, S=3):
+        z = np.asarray(poisson.gen_synthetic(jax.random.key(3), n))
+        th = rng.normal(size=(S, 2)).astype(np.float32)
+        return jnp.asarray(z), jnp.asarray(th)
+
+    def test_loglik_matches_scipy(self, rng):
+        z, th = self._data(rng)
+        from scipy.stats import poisson as sp_poisson
+        x, y = np.asarray(z[:, :-1], np.float64), np.asarray(z[:, -1], np.float64)
+        lam = np.log1p(np.exp(x @ np.asarray(th, np.float64).T))
+        want = sp_poisson.logpmf(y[:, None], lam)
+        got = _as_np(poisson.log_likelihood(z, th))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_grads_match_autodiff(self, rng):
+        z, th = self._data(rng)
+        f = lambda zi, ti: poisson.log_likelihood(zi[None], ti[None])[0, 0]
+        want = jax.vmap(lambda zi: jax.vmap(lambda ti: jax.grad(f, 1)(zi, ti))(th))(z)
+        got = poisson.grad_th_log_likelihood(z, th)
+        np.testing.assert_allclose(_as_np(got), _as_np(want), rtol=2e-3, atol=1e-4)
+
+    def test_hess_matches_autodiff(self, rng):
+        z, th = self._data(rng, S=1)
+        w = jnp.ones(z.shape[0])
+        got = poisson.hess_th_log_joint(z, th, w)[0]
+        f = lambda t: poisson.log_joint(z, t[None], w)[0]
+        want = jax.hessian(f)(th[0])
+        np.testing.assert_allclose(_as_np(got), _as_np(want), rtol=2e-3, atol=1e-3)
+
+
+class TestLinreg:
+    def test_weighted_post_matches_numpy(self, rng):
+        d, n = 4, 30
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        thtrue = rng.normal(size=d)
+        y = (x @ thtrue + 0.1 * rng.normal(size=n)).astype(np.float32)
+        z = np.hstack([x, y[:, None]])
+        w = rng.uniform(0.1, 2.0, size=n).astype(np.float32)
+        sigsq = 0.5
+        th0 = np.zeros(d, np.float32)
+        Sig0inv = np.eye(d, dtype=np.float32)
+        post = linreg.weighted_post(th0, Sig0inv, sigsq, z, w)
+        prec = Sig0inv + (w[:, None] * x).T @ x / sigsq
+        mu_want = np.linalg.solve(prec, (w * y) @ x / sigsq)
+        np.testing.assert_allclose(_as_np(post.mu), mu_want, rtol=1e-3, atol=1e-3)
+
+    def test_grad_x_matches_autodiff(self, rng):
+        d, n, S = 3, 4, 2
+        z = jnp.asarray(rng.normal(size=(n, d + 1)), jnp.float32)
+        th = jnp.asarray(rng.normal(size=(S, d)), jnp.float32)
+        sigsq = 0.7
+        f = lambda zi, ti: linreg.log_likelihood(zi[None], ti[None], sigsq)[0, 0]
+        want = jax.vmap(lambda zi: jax.vmap(lambda ti: jax.grad(f, 0)(zi, ti))(th))(z)
+        got = linreg.grad_x_log_likelihood(z, th, sigsq)
+        np.testing.assert_allclose(_as_np(got), _as_np(want), rtol=1e-4, atol=1e-4)
+
+
+class TestLaplace:
+    def test_matches_scipy_on_logistic(self, rng):
+        d, n = 3, 200
+        z = np.asarray(logistic.gen_synthetic(jax.random.key(0), n, d, theta_scale=1.0))
+        w = np.ones(n, np.float32)
+        res = laplace_approx(jnp.asarray(z), jnp.asarray(w), jnp.zeros(d),
+                             grad_fn=logistic.grad_th_log_joint,
+                             hess_fn=logistic.hess_th_log_joint)
+        from scipy.optimize import minimize
+        zz = z.astype(np.float64)
+        f = lambda t: -float(logistic.log_joint(jnp.asarray(zz, jnp.float32),
+                                                jnp.asarray(t, jnp.float32)[None], jnp.asarray(w))[0])
+        out = minimize(f, np.zeros(d), method="Nelder-Mead", options={"xatol": 1e-8, "fatol": 1e-10})
+        np.testing.assert_allclose(_as_np(res.mu), out.x, rtol=2e-3, atol=2e-3)
+        # covariance factor reproduces inv(-H)
+        H = _as_np(logistic.hess_th_log_joint(jnp.asarray(z), res.mu[None], jnp.asarray(w))[0])
+        Sig = _as_np(res.USig) @ _as_np(res.USig).T
+        np.testing.assert_allclose(Sig, np.linalg.inv(-H), rtol=1e-3, atol=1e-4)
+
+    def test_sampling_moments(self, rng):
+        d, n = 2, 100
+        z = logistic.gen_synthetic(jax.random.key(1), n, d, theta_scale=1.0)
+        res = laplace_approx(z, jnp.ones(n), jnp.zeros(d),
+                             grad_fn=logistic.grad_th_log_joint,
+                             hess_fn=logistic.hess_th_log_joint)
+        s = np.asarray(sample_laplace(jax.random.key(2), res, 40000))
+        np.testing.assert_allclose(s.mean(0), _as_np(res.mu), atol=0.02)
+        Sig = _as_np(res.USig) @ _as_np(res.USig).T
+        np.testing.assert_allclose(np.cov(s, rowvar=False), Sig, atol=0.02)

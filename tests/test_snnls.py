@@ -1,0 +1,169 @@
+"""Solver-layer tests: convergence, invariants, parity with scipy NNLS.
+
+Modeled on the reference's implicit invariants (error monotonicity with
+rollback, snnls/snnls.py:40-74; nonnegativity) plus closed-form optima on
+axis-aligned data (the synthetic_vectors experiment's known-exact case,
+reference examples/synthetic_vectors/main.py:65).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import nnls as scipy_nnls
+
+from bayesian_coresets_tpu.ops import (
+    GIGA,
+    FrankWolfe,
+    ImportanceSampling,
+    OrthoPursuit,
+    UniformSampling,
+    nnls_active_set,
+    nnls_gram,
+)
+
+GREEDY = [GIGA, FrankWolfe, OrthoPursuit]
+ALL = GREEDY + [ImportanceSampling, UniformSampling]
+
+
+def _problem(rng, S=40, n=200, dtype=np.float32):
+    A = rng.normal(size=(S, n)).astype(dtype)
+    b = A.sum(axis=1)
+    return A, b
+
+
+@pytest.mark.parametrize("cls", ALL)
+def test_nonnegative_weights(cls, rng):
+    A, b = _problem(rng)
+    alg = cls(A, b, max_active=256)
+    alg.build(50)
+    assert (alg.weights() >= 0).all()
+
+
+@pytest.mark.parametrize("cls", GREEDY)
+def test_error_decreases(cls, rng):
+    A, b = _problem(rng)
+    alg = cls(A, b, max_active=256)
+    e0 = alg.error()
+    alg.build(20)
+    e20 = alg.error()
+    alg.build(60)
+    e80 = alg.error()
+    assert e20 < e0
+    assert e80 <= e20 * (1 + 1e-5)
+
+
+@pytest.mark.parametrize("cls", GREEDY)
+def test_error_monotone_per_iteration(cls, rng):
+    A, b = _problem(rng, S=20, n=100)
+    alg = cls(A, b, max_active=128)
+    errs = []
+    for _ in range(40):
+        alg.build(1)
+        errs.append(alg.error())
+    errs = np.array(errs)
+    # after the first setup iteration, error never increases materially
+    assert (np.diff(errs[1:]) <= errs[1:-1] * 1e-4 + 1e-5).all()
+
+
+def test_axis_aligned_exact(rng):
+    # A's columns = scaled standard basis vectors: GIGA/FW/OMP can represent
+    # b exactly once every axis is selected.
+    S = 16
+    scales = rng.uniform(0.5, 2.0, size=S).astype(np.float32)
+    A = np.diag(scales)
+    b = A.sum(axis=1)
+    for cls in GREEDY:
+        alg = cls(A, b, max_active=64)
+        alg.build(200)
+        alg.optimize()
+        assert alg.error() < 1e-3 * np.linalg.norm(b), cls.__name__
+
+
+def test_sampling_solvers_converge_statistically(rng):
+    A, b = _problem(rng, S=10, n=50)
+    alg = ImportanceSampling(A, b)
+    alg.build(5)
+    e5 = alg.error()
+    alg.build(2000)
+    assert alg.error() < e5
+
+
+def test_optimize_matches_scipy_on_active_set(rng):
+    A, b = _problem(rng, S=30, n=150)
+    alg = GIGA(A, b, max_active=256)
+    alg.build(40)
+    w = alg.weights()
+    act = np.flatnonzero(w > 0)
+    alg.optimize()
+    w_opt, err_scipy = scipy_nnls(np.asarray(A, np.float64)[:, act], np.asarray(b, np.float64))
+    # our FISTA solution should reach scipy's optimal residual closely
+    assert alg.error() <= err_scipy * (1 + 1e-2) + 1e-4
+
+
+def test_valid_mask_excludes_columns(rng):
+    A, b = _problem(rng, S=20, n=60)
+    valid = np.ones(60, bool)
+    valid[30:] = False
+    alg = GIGA(A, b, valid=jnp.asarray(valid), max_active=64)
+    alg.build(100)
+    assert (alg.weights()[30:] == 0).all()
+
+
+def test_zero_column_rejected(rng):
+    A, b = _problem(rng, S=10, n=20)
+    A[:, 3] = 0.0
+    for cls in GREEDY:
+        with pytest.raises(ValueError):
+            cls(A, b)
+
+
+def test_determinism(rng):
+    A, b = _problem(rng)
+    a1 = GIGA(A, b)
+    a2 = GIGA(A, b)
+    a1.build(30)
+    a2.build(30)
+    np.testing.assert_array_equal(a1.weights(), a2.weights())
+
+
+def test_reset(rng):
+    A, b = _problem(rng)
+    alg = GIGA(A, b)
+    alg.build(10)
+    alg.reset()
+    assert alg.size() == 0
+    assert not alg.reached_numeric_limit
+
+
+def test_incremental_matches_oneshot(rng):
+    A, b = _problem(rng)
+    a1 = GIGA(A, b)
+    a1.build(30)
+    a2 = GIGA(A, b)
+    for _ in range(6):
+        a2.build(5)
+    np.testing.assert_allclose(a1.weights(), a2.weights(), rtol=1e-5, atol=1e-6)
+
+
+class TestNNLSKernels:
+    def test_nnls_gram_matches_scipy(self, rng):
+        S, k = 30, 12
+        A = rng.normal(size=(S, k))
+        b = rng.normal(size=S)
+        G = (A.T @ A).astype(np.float32)
+        c = (A.T @ b).astype(np.float32)
+        x = np.asarray(nnls_gram(jnp.asarray(G), jnp.asarray(c), num_iters=2000))
+        x_ref, _ = scipy_nnls(A, b)
+        np.testing.assert_allclose(x, x_ref, rtol=5e-3, atol=5e-3)
+
+    def test_active_set_padding(self, rng):
+        S, n = 20, 40
+        V = jnp.asarray(rng.normal(size=(n, S)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=S), jnp.float32)
+        idcs = jnp.asarray([3, 7, 11, 0, 0, 0], jnp.int32)
+        x = np.asarray(nnls_active_set(V, b, idcs, 3, num_iters=1000))
+        assert (x[3:] == 0).all()
+        x_ref, _ = scipy_nnls(np.asarray(V).T[:, [3, 7, 11]].astype(np.float64),
+                              np.asarray(b, np.float64))
+        np.testing.assert_allclose(x[:3], x_ref, rtol=5e-3, atol=5e-3)
