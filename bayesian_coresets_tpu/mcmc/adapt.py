@@ -1,0 +1,123 @@
+"""Warmup adaptation: dual-averaging step size + windowed diagonal mass.
+
+Stan-style adaptation schedule (the reference relies on Stan's
+``adapt_delta=0.9`` control, examples/common/mcmc.py:58-65): an initial
+fast window for step size only, doubling slow windows accumulating Welford
+variance for the diagonal mass matrix, and a terminal fast window.  The
+schedule is precomputed host-side as boolean masks so the whole warmup runs
+in one ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DualAveragingState(NamedTuple):
+    log_step: jax.Array
+    log_step_avg: jax.Array
+    h_bar: jax.Array
+    mu: jax.Array
+    count: jax.Array
+
+
+def da_init(step_size):
+    log_step = jnp.log(step_size)
+    return DualAveragingState(log_step, jnp.zeros(()), jnp.zeros(()),
+                              jnp.log(10.0) + log_step, jnp.zeros(()))
+
+
+def da_update(state: DualAveragingState, accept_prob, target=0.8,
+              gamma=0.05, t0=10.0, kappa=0.75) -> DualAveragingState:
+    count = state.count + 1.0
+    w = 1.0 / (count + t0)
+    h_bar = (1.0 - w) * state.h_bar + w * (target - accept_prob)
+    log_step = state.mu - jnp.sqrt(count) / gamma * h_bar
+    eta = count ** (-kappa)
+    log_step_avg = eta * log_step + (1.0 - eta) * state.log_step_avg
+    return DualAveragingState(log_step, log_step_avg, h_bar, state.mu, count)
+
+
+class WelfordState(NamedTuple):
+    count: jax.Array
+    mean: jax.Array
+    m2: jax.Array
+
+
+def welford_init(d, dtype=jnp.float32):
+    return WelfordState(jnp.zeros(()), jnp.zeros(d, dtype), jnp.zeros(d, dtype))
+
+
+def welford_update(state: WelfordState, x) -> WelfordState:
+    count = state.count + 1.0
+    delta = x - state.mean
+    mean = state.mean + delta / count
+    m2 = state.m2 + delta * (x - mean)
+    return WelfordState(count, mean, m2)
+
+
+def welford_variance(state: WelfordState):
+    """Regularized variance estimate (Stan's shrinkage toward unit)."""
+    n = jnp.maximum(state.count, 1.0)
+    var = state.m2 / jnp.maximum(n - 1.0, 1.0)
+    return (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+
+
+def build_schedule(num_warmup: int, init_buffer: int = 75, term_buffer: int = 50,
+                   base_window: int = 25):
+    """Boolean masks over warmup iterations: (in_slow_window, window_end).
+
+    Mirrors Stan's windowed adaptation; degenerates gracefully for short
+    warmups (mass adaptation disabled below ~20 iterations).
+    """
+    in_slow = np.zeros(num_warmup, bool)
+    window_end = np.zeros(num_warmup, bool)
+    if num_warmup < init_buffer + term_buffer + base_window:
+        # too short for windows: step-size-only adaptation
+        return in_slow, window_end
+    start = init_buffer
+    size = base_window
+    while start < num_warmup - term_buffer:
+        end = min(start + size, num_warmup - term_buffer)
+        # if the next window would not fit, extend this one to the boundary
+        if end + size > num_warmup - term_buffer:
+            end = num_warmup - term_buffer
+        in_slow[start:end] = True
+        window_end[end - 1] = True
+        start = end
+        size *= 2
+    return in_slow, window_end
+
+
+def find_reasonable_step_size(value_and_grad_fn, z, logp, grad, inv_mass_diag,
+                              key, init_step=1.0, target=0.8):
+    """Double/halve the step until the one-step acceptance crosses 0.5
+    (Hoffman & Gelman Algorithm 4), as a bounded jittable loop."""
+    from .integrators import IntegratorState, kinetic, leapfrog
+
+    r0 = jax.random.normal(key, z.shape, z.dtype) / jnp.sqrt(inv_mass_diag)
+    s0 = IntegratorState(z, r0, logp, grad)
+    joint0 = logp - kinetic(r0, inv_mass_diag)
+
+    def accept_logp(step):
+        s1 = leapfrog(value_and_grad_fn, s0, step, inv_mass_diag)
+        out = s1.logp - kinetic(s1.r, inv_mass_diag) - joint0
+        return jnp.where(jnp.isnan(out), -jnp.inf, out)
+
+    init_dir = jnp.where(accept_logp(init_step) > jnp.log(0.5), 1.0, -1.0)
+
+    def cond(carry):
+        step, i = carry
+        crossed = (accept_logp(step) > jnp.log(0.5)) != (init_dir > 0)
+        return (~crossed) & (i < 60)
+
+    def body(carry):
+        step, i = carry
+        return step * jnp.where(init_dir > 0, 2.0, 0.5), i + 1
+
+    step, _ = jax.lax.while_loop(cond, body, (jnp.asarray(init_step, z.dtype), 0))
+    return step

@@ -1,0 +1,109 @@
+"""NUTS driver: warmup + sampling for vmapped chains in one jit.
+
+Replaces the reference's pystan driver (examples/common/mcmc.py:58-68,
+``iter=2*N`` with half burn-in, chains=1).  Chains here are vmapped on-chip
+and can be sharded across a device mesh (see parallel/); warmup adaptation
+runs per chain.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .adapt import (
+    build_schedule,
+    da_init,
+    da_update,
+    find_reasonable_step_size,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+from .integrators import IntegratorState
+from .nuts import nuts_kernel
+
+
+class MCMCResult(NamedTuple):
+    samples: jax.Array        # (num_chains, num_samples, d)
+    accept_prob: jax.Array    # (num_chains,) mean sampling-phase acceptance
+    num_divergent: jax.Array  # (num_chains,)
+    step_size: jax.Array      # (num_chains,) adapted step size
+    inv_mass_diag: jax.Array  # (num_chains, d)
+
+
+def _single_chain(logdensity_fn, init_z, key, num_warmup, num_samples,
+                  max_depth, target_accept, in_slow, window_end):
+    vg = jax.value_and_grad(logdensity_fn)
+    logp0, grad0 = vg(init_z)
+    d = init_z.shape[0]
+    dtype = init_z.dtype
+
+    key, k_find = jax.random.split(key)
+    inv_mass = jnp.ones(d, dtype)
+    step0 = find_reasonable_step_size(vg, init_z, logp0, grad0, inv_mass, k_find)
+
+    state0 = IntegratorState(init_z, jnp.zeros(d, dtype), logp0, grad0)
+    da0 = da_init(step0)
+    wf0 = welford_init(d, dtype)
+
+    def warmup_step(carry, xs):
+        state, da, wf, inv_mass, key = carry
+        slow, wend = xs
+        key, k = jax.random.split(key)
+        state, info = nuts_kernel(vg, k, state, jnp.exp(da.log_step), inv_mass,
+                                  max_depth)
+        da = da_update(da, info.accept_prob, target=target_accept)
+        wf = jax.tree.map(
+            lambda new, old: jnp.where(slow, new, old), welford_update(wf, state.z), wf)
+        # at a window boundary: swap in the new mass matrix, restart welford
+        # and dual averaging around the current step size (Stan semantics)
+        new_mass = welford_variance(wf)
+        inv_mass = jnp.where(wend, new_mass, inv_mass)
+        da_reset = da_init(jnp.exp(da.log_step))
+        da = jax.tree.map(lambda a, b: jnp.where(wend, a, b), da_reset, da)
+        wf_reset = welford_init(d, dtype)
+        wf = jax.tree.map(lambda a, b: jnp.where(wend, a, b), wf_reset, wf)
+        return (state, da, wf, inv_mass, key), None
+
+    (state, da, _, inv_mass, key), _ = jax.lax.scan(
+        warmup_step, (state0, da0, wf0, inv_mass, key), (in_slow, window_end))
+
+    step_size = jnp.exp(da.log_step_avg)
+
+    def sample_step(carry, _):
+        state, key = carry
+        key, k = jax.random.split(key)
+        state, info = nuts_kernel(vg, k, state, step_size, inv_mass, max_depth)
+        return (state, key), (state.z, info.accept_prob, info.diverging)
+
+    (_, _), (zs, accepts, divs) = jax.lax.scan(
+        sample_step, (state, key), None, length=num_samples)
+    return zs, jnp.mean(accepts), jnp.sum(divs), step_size, inv_mass
+
+
+@partial(jax.jit, static_argnames=("logdensity_fn", "num_warmup", "num_samples",
+                                   "max_depth"))
+def run_nuts(logdensity_fn: Callable, init_params: jax.Array, key,
+             num_warmup: int = 1000, num_samples: int = 1000,
+             max_depth: int = 10, target_accept: float = 0.8) -> MCMCResult:
+    """Sample with NUTS.  ``init_params``: (num_chains, d); returns all chains.
+
+    ``target_accept`` default 0.8; the reference drivers use Stan's
+    adapt_delta=0.9 (mcmc.py:58) — pass 0.9 for strict parity.
+    """
+    in_slow_np, wend_np = build_schedule(num_warmup)
+    in_slow = jnp.asarray(in_slow_np)
+    wend = jnp.asarray(wend_np)
+    num_chains = init_params.shape[0]
+    keys = jax.random.split(key, num_chains)
+
+    chain = partial(_single_chain, logdensity_fn,
+                    num_warmup=num_warmup, num_samples=num_samples,
+                    max_depth=max_depth, target_accept=target_accept,
+                    in_slow=in_slow, window_end=wend)
+    zs, acc, divs, steps, inv_mass = jax.vmap(chain)(init_params, keys)
+    return MCMCResult(zs, acc, divs, steps, inv_mass)

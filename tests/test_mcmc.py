@@ -1,0 +1,145 @@
+"""MCMC tests: moment recovery, weighted-vs-replicated parity, diagnostics.
+
+The parity test resurrects the reference's disabled self-test comparing the
+weighted sampler against integer-replicated data (reference
+examples/common/mcmc.py:71-119, commented out there — implemented here).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_coresets_tpu.mcmc import (
+    IntegratorState,
+    ess,
+    hmc_kernel,
+    nuts_kernel,
+    run_nuts,
+    split_rhat,
+    weighted_logdensity,
+)
+from bayesian_coresets_tpu.models import gaussian, logistic, poisson
+
+
+@pytest.fixture(scope="module")
+def gauss_res():
+    cov = jnp.asarray([[2.0, 1.2], [1.2, 1.5]])
+    prec = jnp.linalg.inv(cov)
+    logp = lambda th: -0.5 * th @ prec @ th
+    res = run_nuts(logp, jnp.zeros((4, 2)), jax.random.key(0),
+                   num_warmup=500, num_samples=1000)
+    return cov, res
+
+
+class TestNUTS:
+    def test_gaussian_moments(self, gauss_res):
+        cov, res = gauss_res
+        s = np.asarray(res.samples).reshape(-1, 2)
+        np.testing.assert_allclose(s.mean(0), np.zeros(2), atol=0.15)
+        np.testing.assert_allclose(np.cov(s, rowvar=False), np.asarray(cov),
+                                   rtol=0.15, atol=0.1)
+
+    def test_adaptation_hits_target(self, gauss_res):
+        _, res = gauss_res
+        acc = np.asarray(res.accept_prob)
+        assert (acc > 0.6).all() and (acc <= 1.0).all()
+        assert (np.asarray(res.num_divergent) == 0).all()
+
+    def test_diagnostics(self, gauss_res):
+        _, res = gauss_res
+        rhat = np.asarray(split_rhat(res.samples))
+        assert (rhat < 1.05).all()
+        e = np.asarray(ess(res.samples))
+        assert (e > 200).all()
+
+    def test_deterministic_given_key(self):
+        logp = lambda th: -0.5 * jnp.sum(th**2)
+        r1 = run_nuts(logp, jnp.zeros((1, 3)), jax.random.key(7),
+                      num_warmup=50, num_samples=50)
+        r2 = run_nuts(logp, jnp.zeros((1, 3)), jax.random.key(7),
+                      num_warmup=50, num_samples=50)
+        np.testing.assert_array_equal(np.asarray(r1.samples), np.asarray(r2.samples))
+
+    def test_max_depth_bounds_steps(self):
+        # extremely small step forces deep trees; num_steps must stay < 2^depth
+        logp = lambda th: -0.5 * jnp.sum(th**2)
+        vg = jax.value_and_grad(logp)
+        z = jnp.ones(2)
+        lp, g = vg(z)
+        state = IntegratorState(z, jnp.zeros(2), lp, g)
+        _, info = jax.jit(lambda k: nuts_kernel(vg, k, state, 1e-4, jnp.ones(2),
+                                                max_depth=6))(jax.random.key(0))
+        assert int(info.num_steps) <= 2**6
+        assert int(info.depth) <= 6
+
+
+class TestWeightedParity:
+    def setup_method(self):
+        self.z = logistic.gen_synthetic(jax.random.key(1), 20, 3, theta_scale=1.0)
+        self.w = jnp.asarray(np.random.default_rng(0).integers(0, 4, 20), jnp.float32)
+        self.z_rep = jnp.asarray(np.repeat(np.asarray(self.z),
+                                           np.asarray(self.w, int), axis=0))
+
+    def test_logdensity_equal(self):
+        ld_w = weighted_logdensity(logistic, self.z, self.w)
+        ld_r = weighted_logdensity(logistic, self.z_rep, jnp.ones(self.z_rep.shape[0]))
+        for t in jax.random.normal(jax.random.key(2), (5, 3)):
+            a, b = float(ld_w(t)), float(ld_r(t))
+            assert abs(a - b) < 1e-3 * abs(b) + 1e-3
+
+    def test_posterior_moments_equal(self):
+        ld_w = weighted_logdensity(logistic, self.z, self.w)
+        ld_r = weighted_logdensity(logistic, self.z_rep, jnp.ones(self.z_rep.shape[0]))
+        rw = run_nuts(ld_w, jnp.zeros((2, 3)), jax.random.key(5),
+                      num_warmup=400, num_samples=800)
+        rr = run_nuts(ld_r, jnp.zeros((2, 3)), jax.random.key(6),
+                      num_warmup=400, num_samples=800)
+        sw = np.asarray(rw.samples).reshape(-1, 3)
+        sr = np.asarray(rr.samples).reshape(-1, 3)
+        np.testing.assert_allclose(sw.mean(0), sr.mean(0), atol=0.1)
+        np.testing.assert_allclose(np.cov(sw, rowvar=False),
+                                   np.cov(sr, rowvar=False), atol=0.1)
+
+    def test_zero_weights_drop_data(self):
+        w0 = self.w.at[:10].set(0.0)
+        ld = weighted_logdensity(logistic, self.z, w0)
+        ld_sub = weighted_logdensity(logistic, self.z[10:], w0[10:])
+        t = jnp.asarray([0.3, -0.2, 0.8])
+        assert abs(float(ld(t)) - float(ld_sub(t))) < 1e-4
+
+
+class TestHMC:
+    def test_gaussian_moments(self):
+        prec = jnp.asarray([[1.0, 0.0], [0.0, 4.0]])
+        logp = lambda th: -0.5 * th @ prec @ th
+        vg = jax.value_and_grad(logp)
+        z = jnp.zeros(2)
+        lp, g = vg(z)
+        state = IntegratorState(z, jnp.zeros(2), lp, g)
+
+        def step(carry, k):
+            st, = carry
+            st, info = hmc_kernel(vg, k, st, 0.2, jnp.ones(2), num_steps=16)
+            return (st,), st.z
+
+        keys = jax.random.split(jax.random.key(0), 4000)
+        _, zs = jax.lax.scan(step, (state,), keys)
+        zs = np.asarray(zs[500:])
+        np.testing.assert_allclose(zs.mean(0), np.zeros(2), atol=0.1)
+        np.testing.assert_allclose(np.cov(zs, rowvar=False),
+                                   np.linalg.inv(prec), rtol=0.2, atol=0.05)
+
+
+class TestPoissonPosterior:
+    def test_nuts_matches_laplace_roughly(self):
+        z = poisson.gen_synthetic(jax.random.key(3), 300)
+        ld = weighted_logdensity(poisson, z, jnp.ones(300))
+        res = run_nuts(ld, jnp.zeros((2, 2)), jax.random.key(4),
+                       num_warmup=400, num_samples=600)
+        s = np.asarray(res.samples).reshape(-1, 2)
+        from bayesian_coresets_tpu.models.laplace import laplace_approx
+        lap = laplace_approx(z, jnp.ones(300), jnp.zeros(2),
+                             grad_fn=poisson.grad_th_log_joint,
+                             hess_fn=poisson.hess_th_log_joint)
+        np.testing.assert_allclose(s.mean(0), np.asarray(lap.mu), atol=0.1)
