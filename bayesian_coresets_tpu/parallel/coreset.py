@@ -1,0 +1,71 @@
+"""Mesh-sharded coreset construction.
+
+Data-parallel plan per SURVEY.md §2.5: shard the projection matrix
+``V = A.T`` (n, S) across devices along n (optionally across S too); the
+per-iteration score matmul, the residual reductions (``b = sum_i vecs_i``,
+correlations), and the greedy argmax then lower to per-shard partials +
+XLA-inserted collectives (psum / all-gather) — no hand-written NCCL
+analogue needed.  The solver state machine is unchanged: the same jitted
+``ops.snnls.build`` runs over sharded inputs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import snnls
+from ..utils import config
+from .mesh import DATA_AXIS, PROJ_AXIS
+
+
+def shard_consts(consts: snnls.SNNLSConsts, mesh: Mesh,
+                 shard_proj: bool = False) -> snnls.SNNLSConsts:
+    """Place solver constants on the mesh: V rows (data) sharded, the rest
+    replicated (or V cols sharded too when shard_proj)."""
+    proj = PROJ_AXIS if (shard_proj and PROJ_AXIS in mesh.axis_names) else None
+    v_sharding = NamedSharding(mesh, P(DATA_AXIS, proj))
+    col = NamedSharding(mesh, P(DATA_AXIS))
+    vec_s = NamedSharding(mesh, P(proj))
+    rep = NamedSharding(mesh, P())
+    return snnls.SNNLSConsts(
+        V=jax.device_put(consts.V, v_sharding),
+        b=jax.device_put(consts.b, vec_s),
+        norms=jax.device_put(consts.norms, col),
+        bnorm=jax.device_put(consts.bnorm, rep),
+        valid=jax.device_put(consts.valid, col),
+        ps=jax.device_put(consts.ps, col),
+    )
+
+
+def shard_state(state: snnls.SNNLSState, mesh: Mesh,
+                shard_proj: bool = False) -> snnls.SNNLSState:
+    proj = PROJ_AXIS if (shard_proj and PROJ_AXIS in mesh.axis_names) else None
+    col = NamedSharding(mesh, P(DATA_AXIS))
+    vec_s = NamedSharding(mesh, P(proj))
+    rep = NamedSharding(mesh, P())
+    return snnls.SNNLSState(
+        w=jax.device_put(state.w, col),
+        xw=jax.device_put(state.xw, vec_s),
+        cts=jax.device_put(state.cts, col),
+        idcs=jax.device_put(state.idcs, rep),
+        size=jax.device_put(state.size, rep),
+        itr=jax.device_put(state.itr, rep),
+        fail=jax.device_put(state.fail, rep),
+        done=jax.device_put(state.done, rep),
+        key=jax.device_put(state.key, rep),
+    )
+
+
+def build_sharded(A, b, itrs: int, mesh: Mesh, method: str = "giga",
+                  valid=None, key=None, shard_proj: bool = False,
+                  max_active: int = 0) -> snnls.SNNLSState:
+    """Run a sharded snnls build; returns the final (sharded) state."""
+    sampling = method if method in ("importance", "uniform") else None
+    consts = snnls.make_consts(jnp.asarray(A), jnp.asarray(b), valid=valid,
+                               sampling=sampling)
+    consts = shard_consts(consts, mesh, shard_proj)
+    state = snnls.init_state(consts, key, max_active=max_active)
+    state = shard_state(state, mesh, shard_proj)
+    return snnls.build(consts, state, itrs, config.TOL, method=method)

@@ -1,0 +1,63 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest.py)."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_coresets_tpu.ops import snnls as S
+from bayesian_coresets_tpu.parallel import build_sharded, make_mesh, run_nuts_sharded
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import __graft_entry__  # noqa: E402
+
+
+def test_mesh_shapes(cpu_devices):
+    mesh = make_mesh({"data": 4, "proj": 2})
+    assert mesh.shape == {"data": 4, "proj": 2}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 16})
+
+
+def test_sharded_build_matches_single_device(rng, cpu_devices):
+    Sdim, n = 32, 256
+    A = rng.normal(size=(Sdim, n)).astype(np.float32)
+    b = A.sum(axis=1)
+    mesh = make_mesh({"data": 8})
+    st = build_sharded(A, b, 60, mesh)
+    alg = S.GIGA(A, b)
+    alg.build(60)
+    np.testing.assert_allclose(np.asarray(st.w), alg.weights(), rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_build_2d_mesh(rng, cpu_devices):
+    Sdim, n = 32, 256
+    A = rng.normal(size=(Sdim, n)).astype(np.float32)
+    b = A.sum(axis=1)
+    mesh = make_mesh({"data": 4, "proj": 2})
+    st = build_sharded(A, b, 40, mesh, shard_proj=True)
+    alg = S.GIGA(A, b)
+    alg.build(40)
+    np.testing.assert_allclose(np.asarray(st.w), alg.weights(), rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_chains(cpu_devices):
+    mesh = make_mesh({"chains": 8})
+    logp = lambda th: -0.5 * jnp.sum(th**2)
+    res = run_nuts_sharded(logp, jnp.zeros((8, 3)), jax.random.key(0), mesh,
+                           num_warmup=100, num_samples=200)
+    s = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(s.std(0), np.ones(3), atol=0.1)
+
+
+def test_graft_entry_compiles(cpu_devices):
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_dryrun_multichip(cpu_devices):
+    __graft_entry__.dryrun_multichip(8)
