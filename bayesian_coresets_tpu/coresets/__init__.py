@@ -7,7 +7,17 @@ Exports mirror the reference package surface
 from .bpsvi import BatchPSVICoreset
 from .coreset import Coreset
 from .hilbert import HilbertCoreset
-from .projector import BlackBoxProjector, Projector, ProjectorFns, center_glls, center_lls, project
+from .projector import (
+    BlackBoxProjector,
+    FamilyProjector,
+    Projector,
+    TangentFamily,
+    blackbox_family,
+    center_glls,
+    center_lls,
+    project,
+)
+from .exact import gaussian_tangent_family, identity_tangent_family, linreg_tangent_family
 from .sampling import UniformSamplingCoreset
 from .sparsevi import SparseVICoreset
 
@@ -18,9 +28,14 @@ __all__ = [
     "BatchPSVICoreset",
     "UniformSamplingCoreset",
     "Projector",
+    "FamilyProjector",
     "BlackBoxProjector",
-    "ProjectorFns",
+    "TangentFamily",
+    "blackbox_family",
     "center_lls",
     "center_glls",
     "project",
+    "gaussian_tangent_family",
+    "linreg_tangent_family",
+    "identity_tangent_family",
 ]

@@ -24,12 +24,13 @@ import jax.numpy as jnp
 from ..ops.opt import nn_opt
 from ..utils import config
 from .coreset import Coreset
-from .projector import BlackBoxProjector, ProjectorFns, center_glls, center_lls
+from .projector import TangentFamily
+from .sparsevi import resolve_family
 
 
-@partial(jax.jit, static_argnames=("fns", "proj_dim", "sz", "n_sub_opt",
+@partial(jax.jit, static_argnames=("family", "sz", "n_sub_opt",
                                    "opt_itrs", "step_sched"))
-def bpsvi_build(data, key, *, fns: ProjectorFns, proj_dim: int, sz: int,
+def bpsvi_build(data, key, *, family: TangentFamily, sz: int,
                 n_sub_opt, opt_itrs: int, step_sched):
     """Initialize and optimize a size-``sz`` pseudocoreset; returns (wts, pts)."""
     n, d = data.shape
@@ -46,19 +47,20 @@ def bpsvi_build(data, key, *, fns: ProjectorFns, proj_dim: int, sz: int,
         w = x[:sz]
         u = x[sz:].reshape(sz, d)
         k1, k2 = jax.random.split(k)
-        samples = fns.sample(k1, proj_dim, w, u)
+        ctx = family.make_ctx(k1, w, u)
         if n_sub_opt is None:
-            vecs = center_lls(fns.loglik(data, samples))
+            vecs = family.project(ctx, data)
             scale = 1.0
         else:
             sub_idcs = jax.random.randint(k2, (n_sub_opt,), 0, n)
-            vecs = center_lls(fns.loglik(data[sub_idcs], samples))
+            vecs = family.project(ctx, data[sub_idcs])
             scale = n / n_sub_opt
-        corevecs = center_lls(fns.loglik(u, samples))            # (sz, S)
-        pgrads = center_glls(fns.grad_loglik(u, samples))        # (sz, S, d)
+        corevecs = family.project(ctx, u)            # (sz, S)
+        pgrads = family.project_grad(ctx, u)         # (sz, S, d)
+        S = vecs.shape[1]
         resid = scale * jnp.sum(vecs, axis=0) - w @ corevecs     # (S,)
-        wgrad = -(corevecs @ resid) / proj_dim
-        ugrad = -jnp.einsum("m,msd,s->md", w, pgrads, resid) / proj_dim
+        wgrad = -(corevecs @ resid) / S
+        ugrad = -jnp.einsum("m,msd,s->md", w, pgrads, resid) / S
         return jnp.concatenate([wgrad, ugrad.reshape(-1)])
 
     xf = nn_opt(x0, grad_fn, k_opt, nn_mask=nn_mask, opt_itrs=opt_itrs,
@@ -77,12 +79,8 @@ class BatchPSVICoreset(Coreset):
                  step_sched=lambda i: 1.0 / (1.0 + i), seed: int = 0):
         super().__init__()
         self.data = jnp.asarray(data, config.default_dtype())
-        if isinstance(ll_projector, BlackBoxProjector):
-            self.fns = ll_projector.fns
-            self.proj_dim = ll_projector.projection_dimension
-        else:
-            self.fns, self.proj_dim = ll_projector
-        if self.fns.grad_loglik is None:
+        self.family = resolve_family(ll_projector)
+        if self.family.project_grad is None:
             raise ValueError("BatchPSVICoreset requires a grad_loglikelihood "
                              "(reference projector.py:23-24)")
         n = self.data.shape[0]
@@ -99,7 +97,7 @@ class BatchPSVICoreset(Coreset):
     def _build(self, sz: int):
         self._key, k = jax.random.split(self._key)
         wts, pts = bpsvi_build(
-            self.data, k, fns=self.fns, proj_dim=self.proj_dim, sz=int(sz),
+            self.data, k, family=self.family, sz=int(sz),
             n_sub_opt=self.n_subsample_opt, opt_itrs=self.opt_itrs,
             step_sched=self.step_sched)
         self.wts = np.asarray(wts)

@@ -1,10 +1,23 @@
 """Log-likelihood projectors: finite discretizations of the tangent space.
 
 Covers the reference's ``bayesiancoresets/projector.py:4-32``.  A projector
-draws S posterior-approximation samples theta_s and maps each datapoint to
-the S-vector of *centered* log-likelihoods [ll(x, theta_s) - mean_s ll] —
-the Hilbert-space feature vectors consumed by the snnls solvers and the
-Monte-Carlo gradients of SparseVI/BatchPSVI.
+maps each datapoint to a feature vector whose inner products approximate
+(or, for exact projectors, equal) the Hilbert-space inner products between
+log-likelihood functions — the vectors consumed by the snnls solvers and
+the Monte-Carlo gradients of SparseVI/BatchPSVI.
+
+Two layers:
+
+- :class:`TangentFamily` — the pure-function protocol consumed by the
+  jitted coreset cores.  ``make_ctx(key, wts, pts)`` builds a projection
+  context from the current coreset (posterior samples for black-box
+  projectors; refit posterior factors for exact ones), and
+  ``project(ctx, query)`` maps query points to centered feature vectors.
+  Both data and coreset points are projected under the SAME context within
+  one build step, mirroring the reference's shared-sample semantics
+  (reference coreset/sparsevi.py:23-42).
+- :class:`Projector`/:class:`BlackBoxProjector` — the reference's stateful
+  user API (reference projector.py:4-32), wrapping a TangentFamily.
 
 TPU-native departures:
 - samplers are keyed: ``sampler(key, n_samples, wts, pts)`` (explicit PRNG
@@ -19,23 +32,19 @@ TPU-native departures:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 
-class ProjectorFns(NamedTuple):
-    """Pure-function projector protocol consumed by the jitted coreset cores.
+class TangentFamily(NamedTuple):
+    """Pure-function projector protocol for the jitted coreset cores."""
 
-    sample:     (key, n_samples:int, wts, pts) -> (S, d_theta) samples
-    loglik:     (pts, samples) -> (n, S) log-likelihood matrix
-    grad_loglik: optional (pts, samples) -> (n, S, d) gradient wrt datapoints
-    """
-
-    sample: Callable
-    loglik: Callable
-    grad_loglik: Optional[Callable] = None
+    make_ctx: Callable                 # (key, wts, pts) -> ctx pytree
+    project: Callable                  # (ctx, query_pts) -> (q, S) centered
+    project_grad: Optional[Callable] = None   # (ctx, query_pts) -> (q, S, d)
 
 
 def center_lls(lls: jax.Array) -> jax.Array:
@@ -48,19 +57,34 @@ def center_glls(glls: jax.Array) -> jax.Array:
     return glls - jnp.mean(glls, axis=1, keepdims=True)
 
 
-from functools import partial
+def blackbox_family(sampler, projection_dimension: int, loglikelihood,
+                    grad_loglikelihood=None) -> TangentFamily:
+    """TangentFamily from a posterior sampler + log-likelihood
+    (the functional core of the reference's BlackBoxProjector)."""
+
+    def make_ctx(key, wts, pts):
+        return sampler(key, projection_dimension, wts, pts)
+
+    def project(ctx, pts):
+        return center_lls(loglikelihood(pts, ctx))
+
+    project_grad = None
+    if grad_loglikelihood is not None:
+        def project_grad(ctx, pts):  # noqa: F811
+            return center_glls(grad_loglikelihood(pts, ctx))
+
+    return TangentFamily(make_ctx, project, project_grad)
 
 
-@partial(jax.jit, static_argnames=("fns", "grad"))
-def project(fns: ProjectorFns, pts: jax.Array, samples: jax.Array, grad: bool = False):
+@partial(jax.jit, static_argnames=("family", "grad"))
+def project(family: TangentFamily, ctx, pts: jax.Array, grad: bool = False):
     """Compute centered (and optionally gradient) projections (jitted)."""
-    lls = center_lls(fns.loglik(pts, samples))
+    lls = family.project(ctx, pts)
     if not grad:
         return lls
-    if fns.grad_loglik is None:
-        raise ValueError("grad projection requested but grad_loglik not provided")
-    glls = center_glls(fns.grad_loglik(pts, samples))
-    return lls, glls
+    if family.project_grad is None:
+        raise ValueError("grad projection requested but not provided")
+    return lls, family.project_grad(ctx, pts)
 
 
 class Projector:
@@ -73,7 +97,29 @@ class Projector:
         raise NotImplementedError
 
 
-class BlackBoxProjector(Projector):
+class FamilyProjector(Projector):
+    """Stateful facade over any TangentFamily (ctx held between calls)."""
+
+    def __init__(self, family: TangentFamily, key: jax.Array | None = None):
+        self.family = family
+        self._key = key if key is not None else jax.random.key(0)
+        self._ctx = None
+        self.update(jnp.zeros((0,)), jnp.zeros((0, 0)))
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def update(self, wts, pts):
+        """Rebuild the projection context from the current coreset."""
+        self._ctx = jax.jit(self.family.make_ctx)(
+            self._next_key(), jnp.asarray(wts), jnp.asarray(pts))
+
+    def project(self, pts, grad: bool = False):
+        return project(self.family, self._ctx, jnp.asarray(pts), grad=grad)
+
+
+class BlackBoxProjector(FamilyProjector):
     """Sampler + log-likelihood discretizer (reference projector.py:11-32).
 
     ``sampler(key, n_samples, wts, pts)`` must be jittable; the projector
@@ -84,20 +130,10 @@ class BlackBoxProjector(Projector):
     def __init__(self, sampler, projection_dimension: int, loglikelihood,
                  grad_loglikelihood=None, key: jax.Array | None = None):
         self.projection_dimension = int(projection_dimension)
-        self.fns = ProjectorFns(sampler, loglikelihood, grad_loglikelihood)
-        self._key = key if key is not None else jax.random.key(0)
-        self.samples = None
-        self.update(jnp.zeros((0,)), jnp.zeros((0, 0)))
+        family = blackbox_family(sampler, self.projection_dimension,
+                                 loglikelihood, grad_loglikelihood)
+        super().__init__(family, key=key)
 
-    def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
-
-    def update(self, wts, pts):
-        """Redraw S samples from the current coreset posterior approximation."""
-        sample = jax.jit(self.fns.sample, static_argnums=(1,))
-        self.samples = sample(self._next_key(), self.projection_dimension,
-                              jnp.asarray(wts), jnp.asarray(pts))
-
-    def project(self, pts, grad: bool = False):
-        return project(self.fns, jnp.asarray(pts), self.samples, grad=grad)
+    @property
+    def samples(self):
+        return self._ctx

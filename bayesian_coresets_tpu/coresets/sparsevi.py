@@ -1,11 +1,13 @@
 """SparseVI: greedy KL-minimizing coresets with Monte-Carlo gradients.
 
 Covers the reference's ``bayesiancoresets/coreset/sparsevi.py:6-79``.  Each
-build iteration (i) re-draws posterior samples from the current coreset
-approximation, greedily selects the datapoint whose centered log-likelihood
-vector best correlates with the residual, then (ii) re-optimizes all active
-weights with projected Adam where *every* gradient step refits the sampler
-and redraws samples (reference sparsevi.py:69-76 via projector.py:31-32).
+build iteration (i) rebuilds the projection context from the current coreset
+approximation (posterior refit + fresh samples for black-box projectors;
+closed-form factors for exact ones), greedily selects the datapoint whose
+centered feature vector best correlates with the residual, then (ii)
+re-optimizes all active weights with projected Adam where *every* gradient
+step rebuilds the context (reference sparsevi.py:69-76 via
+projector.py:31-32).
 
 TPU-native design: the entire ``build(itrs)`` — greedy selection, posterior
 refits (closed-form or jittable Newton-Laplace), fresh Monte-Carlo
@@ -25,51 +27,63 @@ import jax.numpy as jnp
 from ..ops.opt import nn_opt
 from ..utils import config
 from .coreset import Coreset
-from .projector import BlackBoxProjector, ProjectorFns, center_lls
+from .projector import FamilyProjector, TangentFamily
 
 _NEG_INF = -jnp.inf
+
+
+def resolve_family(ll_projector) -> TangentFamily:
+    if isinstance(ll_projector, TangentFamily):
+        return ll_projector
+    if isinstance(ll_projector, FamilyProjector):
+        return ll_projector.family
+    raise TypeError(
+        "ll_projector must be a TangentFamily or FamilyProjector/BlackBoxProjector")
 
 
 def _gather_pts(data, idcs):
     return data[jnp.clip(idcs, 0, data.shape[0] - 1)]
 
 
-def _projections(data, fns: ProjectorFns, proj_dim, key, w, idcs, size, n_sub):
-    """Reference _get_projection (sparsevi.py:23-42): refit sampler, project
-    a (sub)sample of the data and the current coreset points."""
+def _projections(data, family: TangentFamily, key, w, idcs, size, n_sub,
+                 grad: bool = False):
+    """Reference _get_projection (sparsevi.py:23-42): rebuild the context,
+    project a (sub)sample of the data and the current coreset points."""
     n = data.shape[0]
     Mmax = w.shape[0]
     mask = jnp.arange(Mmax) < size
     pts = _gather_pts(data, idcs)
     k1, k2 = jax.random.split(key)
-    samples = fns.sample(k1, proj_dim, jnp.where(mask, w, 0.0), pts)
+    ctx = family.make_ctx(k1, jnp.where(mask, w, 0.0), pts)
     if n_sub is None:
         sub_idcs = None
-        vecs = center_lls(fns.loglik(data, samples))
+        vecs = family.project(ctx, data)
         scale = 1.0
     else:
         sub_idcs = jax.random.randint(k2, (n_sub,), 0, n)
-        vecs = center_lls(fns.loglik(data[sub_idcs], samples))
+        vecs = family.project(ctx, data[sub_idcs])
         scale = n / n_sub
-    corevecs = center_lls(fns.loglik(pts, samples))
-    return vecs, scale, sub_idcs, corevecs, mask
+    corevecs = family.project(ctx, pts)
+    pgrads = family.project_grad(ctx, pts) if grad else None
+    return vecs, scale, sub_idcs, corevecs, pgrads, mask
 
 
-def _select(data, fns, proj_dim, key, wts, idcs, size, n_sub_sel):
+def _select(data, family, key, wts, idcs, size, n_sub_sel):
     """Greedy residual-correlation selection (reference sparsevi.py:44-67)."""
-    vecs, scale, sub_idcs, corevecs, mask = _projections(
-        data, fns, proj_dim, key, wts, idcs, size, n_sub_sel)
+    vecs, scale, sub_idcs, corevecs, _, mask = _projections(
+        data, family, key, wts, idcs, size, n_sub_sel)
+    S = vecs.shape[1]
     Mmax = wts.shape[0]
     wmask = jnp.where(mask, wts, 0.0)
     resid = scale * jnp.sum(vecs, axis=0) - wmask @ corevecs
 
     vnorm = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
     corrs = jnp.where(vnorm > 0,
-                      (vecs @ resid) / jnp.where(vnorm > 0, vnorm, 1.0) / proj_dim,
+                      (vecs @ resid) / jnp.where(vnorm > 0, vnorm, 1.0) / S,
                       _NEG_INF)
     cnorm = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
     corecorrs = jnp.where(mask & (cnorm > 0),
-                          jnp.abs(corevecs @ resid) / jnp.where(cnorm > 0, cnorm, 1.0) / proj_dim,
+                          jnp.abs(corevecs @ resid) / jnp.where(cnorm > 0, cnorm, 1.0) / S,
                           _NEG_INF)
 
     f_local = jnp.argmax(corrs)
@@ -83,26 +97,26 @@ def _select(data, fns, proj_dim, key, wts, idcs, size, n_sub_sel):
     return wts, idcs, size + add.astype(size.dtype)
 
 
-def _optimize(data, fns, proj_dim, key, wts, idcs, size, n_sub_opt, opt_itrs, step_sched):
-    """Re-solve all active weights; each Adam step redraws samples
+def _optimize(data, family, key, wts, idcs, size, n_sub_opt, opt_itrs, step_sched):
+    """Re-solve all active weights; each Adam step rebuilds the context
     (reference sparsevi.py:69-76)."""
     Mmax = wts.shape[0]
     mask = jnp.arange(Mmax) < size
 
     def grad_fn(w, k):
-        vecs, scale, _, corevecs, _ = _projections(
-            data, fns, proj_dim, k, w, idcs, size, n_sub_opt)
+        vecs, scale, _, corevecs, _, _ = _projections(
+            data, family, k, w, idcs, size, n_sub_opt)
         resid = scale * jnp.sum(vecs, axis=0) - (jnp.where(mask, w, 0.0)) @ corevecs
-        g = -(corevecs @ resid) / proj_dim
+        g = -(corevecs @ resid) / vecs.shape[1]
         return jnp.where(mask, g, 0.0)
 
     w = nn_opt(wts, grad_fn, key, nn_mask=None, opt_itrs=opt_itrs, step_sched=step_sched)
     return jnp.where(mask, w, 0.0)
 
 
-@partial(jax.jit, static_argnames=("fns", "proj_dim", "n_sub_sel", "n_sub_opt",
+@partial(jax.jit, static_argnames=("family", "n_sub_sel", "n_sub_opt",
                                    "opt_itrs", "step_sched"))
-def svi_build(data, wts, idcs, size, key, itrs, *, fns: ProjectorFns, proj_dim: int,
+def svi_build(data, wts, idcs, size, key, itrs, *, family: TangentFamily,
               n_sub_sel, n_sub_opt, opt_itrs: int, step_sched):
     """Run ``itrs`` select+optimize rounds inside one compiled while_loop."""
 
@@ -113,8 +127,8 @@ def svi_build(data, wts, idcs, size, key, itrs, *, fns: ProjectorFns, proj_dim: 
     def body(carry):
         w, ix, sz, k, i = carry
         k, k1, k2 = jax.random.split(k, 3)
-        w, ix, sz = _select(data, fns, proj_dim, k1, w, ix, sz, n_sub_sel)
-        w = _optimize(data, fns, proj_dim, k2, w, ix, sz, n_sub_opt, opt_itrs, step_sched)
+        w, ix, sz = _select(data, family, k1, w, ix, sz, n_sub_sel)
+        w = _optimize(data, family, k2, w, ix, sz, n_sub_opt, opt_itrs, step_sched)
         return (w, ix, sz, k, i + 1)
 
     wts, idcs, size, key, _ = jax.lax.while_loop(
@@ -122,13 +136,11 @@ def svi_build(data, wts, idcs, size, key, itrs, *, fns: ProjectorFns, proj_dim: 
     return wts, idcs, size, key
 
 
-@partial(jax.jit, static_argnames=("fns", "proj_dim", "n_sub_opt", "opt_itrs",
-                                   "step_sched"))
-def svi_optimize(data, wts, idcs, size, key, *, fns, proj_dim, n_sub_opt,
+@partial(jax.jit, static_argnames=("family", "n_sub_opt", "opt_itrs", "step_sched"))
+def svi_optimize(data, wts, idcs, size, key, *, family, n_sub_opt,
                  opt_itrs, step_sched):
     key, k = jax.random.split(key)
-    wts = _optimize(data, fns, proj_dim, k, wts, idcs, size, n_sub_opt,
-                    opt_itrs, step_sched)
+    wts = _optimize(data, family, k, wts, idcs, size, n_sub_opt, opt_itrs, step_sched)
     return wts, key
 
 
@@ -141,11 +153,7 @@ class SparseVICoreset(Coreset):
         super().__init__()
         self.data = jnp.asarray(data, config.default_dtype())
         n = self.data.shape[0]
-        if isinstance(ll_projector, BlackBoxProjector):
-            self.fns = ll_projector.fns
-            self.proj_dim = ll_projector.projection_dimension
-        else:
-            self.fns, self.proj_dim = ll_projector  # (ProjectorFns, proj_dim)
+        self.family = resolve_family(ll_projector)
         self.n_subsample_select = None if n_subsample_select is None else min(n, int(n_subsample_select))
         self.n_subsample_opt = None if n_subsample_opt is None else min(n, int(n_subsample_opt))
         self.opt_itrs = int(opt_itrs)
@@ -187,7 +195,7 @@ class SparseVICoreset(Coreset):
         self._key, k = jax.random.split(self._key)
         self._wts, self._idcs, self._size, _ = svi_build(
             self.data, self._wts, self._idcs, self._size, k, jnp.int32(itrs),
-            fns=self.fns, proj_dim=self.proj_dim,
+            family=self.family,
             n_sub_sel=self.n_subsample_select, n_sub_opt=self.n_subsample_opt,
             opt_itrs=self.opt_itrs, step_sched=self.step_sched)
         self._sync()
@@ -196,7 +204,7 @@ class SparseVICoreset(Coreset):
         self._key, k = jax.random.split(self._key)
         self._wts, _ = svi_optimize(
             self.data, self._wts, self._idcs, self._size, k,
-            fns=self.fns, proj_dim=self.proj_dim, n_sub_opt=self.n_subsample_opt,
+            family=self.family, n_sub_opt=self.n_subsample_opt,
             opt_itrs=self.opt_itrs, step_sched=self.step_sched)
         self._sync()
 

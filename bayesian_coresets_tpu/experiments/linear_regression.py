@@ -1,0 +1,213 @@
+"""Bayesian RBF linear-regression coreset experiment.
+
+TPU-native driver with the capability surface of the reference's
+``examples/linear_regression/main.py``: housing-price data (or a synthetic
+stand-in — the reference's prices2018.npy is not distributed), multi-scale
+RBF bases with a constant basis, closed-form posterior, seven algorithms
+including the exact LinReg projector (second-order term projected onto the
+top eigenvectors of X^T X), and the same closed-form quality metrics.
+
+Run:  python -m bayesian_coresets_tpu.experiments.linear_regression run --alg GIGA-OPT --trial 1
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from .. import coresets as bc
+from ..models import linreg
+from ..utils import prng, set_verbosity
+from . import datasets, results
+from .cli import coreset_size_grid, make_parser, step_sched
+
+ALGS = ["SVI", "SVI-EXACT", "GIGA-OPT", "GIGA-OPT-EXACT", "GIGA-REAL",
+        "GIGA-REAL-EXACT", "US"]
+
+
+def _load_xy(arguments, rng):
+    for d in datasets.DATA_DIRS:
+        path = os.path.join(d, "prices2018.npy") if d else ""
+        if path and os.path.exists(path):
+            x = np.load(path)
+            idcs = rng.permutation(x.shape[0])[: arguments.data_num]
+            x = x[idcs]
+            x[:, 2] = np.log10(x[:, 2])
+            return x
+    return datasets.gen_synthetic_housing(rng, arguments.data_num)
+
+
+def run(arguments):
+    import jax
+    import jax.numpy as jnp
+
+    if results.check_exists(arguments):
+        print(f"Results already exist for arguments {arguments}\nQuitting.")
+        return
+    set_verbosity(arguments.verbosity)
+    rng = np.random.default_rng(arguments.trial)
+
+    Ms = coreset_size_grid(arguments.coreset_size_max, arguments.coreset_num_sizes,
+                           arguments.coreset_size_spacing)
+
+    # data + multi-scale RBF bases (reference linear_regression/main.py:60-108)
+    x = _load_xy(arguments, rng)
+    datastd = x[:, 2].std()
+    datamn = x[:, 2].mean()
+    sigsq = datastd**2
+
+    basis_unique_scales = np.array([0.2, 0.4, 0.8, 1.2, 1.6, 2.0, 100.0])
+    basis_unique_counts = np.hstack(
+        (arguments.n_bases_per_scale * np.ones(6, dtype=np.int64), 1))
+    d = int(basis_unique_counts.sum())
+    print(f"Basis dimension: {d}")
+
+    mu0 = datamn * np.ones(d)
+    Sig0 = (datastd**2 + datamn**2) * np.eye(d)
+    Sig0inv = np.linalg.inv(Sig0)
+
+    basis_scales = np.array([])
+    basis_locs = np.zeros((0, 2))
+    for i in range(basis_unique_scales.shape[0]):
+        basis_scales = np.hstack(
+            (basis_scales, basis_unique_scales[i] * np.ones(basis_unique_counts[i])))
+        idcs = rng.choice(np.arange(x.shape[0]), replace=False,
+                          size=basis_unique_counts[i])
+        basis_locs = np.vstack((basis_locs, x[idcs, :2]))
+
+    X = np.exp(-((x[:, None, :2] - basis_locs[None, :, :]) ** 2).sum(-1)
+               / (2.0 * basis_scales[None, :] ** 2))
+    Y = x[:, 2]
+    Z = np.hstack((X, Y[:, None])).astype(np.float32)
+    N = Z.shape[0]
+
+    _, bV = np.linalg.eigh(X.T @ X)
+    bV = bV[:, -arguments.proj_dim:]
+
+    mu0_j = jnp.asarray(mu0, jnp.float32)
+    Sig0inv_j = jnp.asarray(Sig0inv, jnp.float32)
+    Zj = jnp.asarray(Z)
+
+    post = linreg.weighted_post(mu0_j, Sig0inv_j, sigsq, Zj, jnp.ones(N))
+    mup = np.asarray(post.mu)
+    Sigp = np.asarray(post.USig @ post.USig.T)
+    SigpInv = np.asarray(post.LSigInv @ post.LSigInv.T)
+
+    loglik = lambda pts, th: linreg.log_likelihood(pts, th, sigsq)
+    gradll = lambda pts, th: linreg.grad_x_log_likelihood(pts, th, sigsq)
+    S = arguments.proj_dim
+    key = prng.fold_seed(arguments.trial, 1)
+
+    def sampler_optimal(k, n, w, p):
+        return linreg.sample_weighted_post(k, mu0_j, Sig0inv_j, sigsq, Zj,
+                                           jnp.ones(N), n)
+
+    sub = rng.integers(0, N, int(np.sqrt(N)))
+    Zhat = Zj[jnp.asarray(sub)]
+
+    def sampler_realistic(k, n, w, p):
+        return linreg.sample_weighted_post(k, mu0_j, Sig0inv_j, sigsq, Zhat,
+                                           jnp.ones(Zhat.shape[0]), n)
+
+    def sampler_bb(k, n, w, p):
+        if p.size == 0:
+            w = jnp.zeros(1)
+            p = jnp.zeros((1, d + 1))
+        return linreg.sample_weighted_post(k, mu0_j, Sig0inv_j, sigsq, p, w, n)
+
+    exact_family = bc.linreg_tangent_family(mu0_j, Sig0inv_j, sigsq, bV.astype(np.float32))
+    sched = step_sched(arguments.step_sched)
+    seed = arguments.trial
+
+    def make_alg(name):
+        if name == "SVI":
+            return bc.SparseVICoreset(
+                Zj, bc.BlackBoxProjector(sampler_bb, S, loglik, gradll),
+                opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed)
+        if name == "SVI-EXACT":
+            return bc.SparseVICoreset(Zj, exact_family, opt_itrs=arguments.opt_itrs,
+                                      step_sched=sched, seed=seed)
+        if name == "GIGA-OPT":
+            return bc.HilbertCoreset(Zj, bc.BlackBoxProjector(sampler_optimal, S, loglik),
+                                     seed=seed)
+        if name == "GIGA-OPT-EXACT":
+            prj = bc.FamilyProjector(exact_family)
+            prj.update(jnp.ones(N), Zj)
+            return bc.HilbertCoreset(Zj, prj, seed=seed)
+        if name == "GIGA-REAL":
+            return bc.HilbertCoreset(Zj, bc.BlackBoxProjector(sampler_realistic, S, loglik),
+                                     seed=seed)
+        if name == "GIGA-REAL-EXACT":
+            prj = bc.FamilyProjector(exact_family)
+            prj.update(jnp.ones(Zhat.shape[0]), Zhat)
+            return bc.HilbertCoreset(Zj, prj, seed=seed)
+        if name == "US":
+            return bc.UniformSamplingCoreset(Zj, seed=seed)
+        raise ValueError(name)
+
+    alg = make_alg(arguments.alg)
+
+    nM = Ms.shape[0]
+    w, p = [], []
+    cputs = np.zeros(nM)
+    t_build = 0.0
+    for m in range(nM):
+        print(f"M = {Ms[m]}: coreset construction, {arguments.alg} {arguments.trial}")
+        t0 = time.perf_counter()
+        itrs = int(Ms[m] if m == 0 else Ms[m] - Ms[m - 1])
+        alg.build(itrs)
+        t_build += time.perf_counter() - t0
+        wts, pts, idcs = alg.get()
+        w.append(wts)
+        p.append(pts)
+        cputs[m] = t_build
+
+    csizes = np.zeros(nM)
+    rklw = np.zeros(nM)
+    fklw = np.zeros(nM)
+    mu_errs = np.zeros(nM)
+    Sig_errs = np.zeros(nM)
+    for m in range(nM):
+        csizes[m] = (w[m] > 0).sum()
+        pts_m = jnp.asarray(np.atleast_2d(np.asarray(p[m], np.float32)))
+        if pts_m.shape[1] == 0:
+            pts_m = jnp.zeros((1, d + 1), jnp.float32)
+        wts_m = jnp.asarray(np.asarray(w[m], np.float32))
+        if wts_m.shape[0] == 0:
+            wts_m = jnp.zeros(1, jnp.float32)
+        wp = linreg.weighted_post(mu0_j, Sig0inv_j, sigsq, pts_m, wts_m)
+        Sigw = np.asarray(wp.USig @ wp.USig.T)
+        muw = np.asarray(wp.mu)
+        rklw[m] = float(linreg.kl_divergence(jnp.asarray(muw), jnp.asarray(Sigw),
+                                             jnp.asarray(mup), jnp.asarray(SigpInv)))
+        fklw[m] = float(linreg.kl_divergence(jnp.asarray(mup), jnp.asarray(Sigp),
+                                             wp.mu, wp.LSigInv @ wp.LSigInv.T))
+        mu_errs[m] = np.linalg.norm(mup - muw) / np.linalg.norm(mup)
+        Sig_errs[m] = np.linalg.norm(Sigp - Sigw) / np.linalg.norm(Sigp)
+
+    results.save(arguments, csizes=csizes, Ms=Ms, cputs=cputs, rklw=rklw,
+                 fklw=fklw, mu_errs=mu_errs, Sig_errs=Sig_errs)
+
+
+def main(argv=None):
+    parser, run_p, _ = make_parser("RBF linear regression coreset experiment (TPU-native)")
+    run_p.set_defaults(func=run)
+    parser.add_argument("--data_num", type=int, default=10000)
+    parser.add_argument("--alg", type=str, default="GIGA-OPT", choices=ALGS)
+    parser.add_argument("--proj_dim", type=int, default=100)
+    parser.add_argument("--n_bases_per_scale", type=int, default=50)
+    parser.add_argument("--coreset_size_max", type=int, default=300)
+    parser.add_argument("--coreset_num_sizes", type=int, default=6)
+    parser.add_argument("--coreset_size_spacing", choices=["log", "linear"], default="log")
+    parser.add_argument("--opt_itrs", type=int, default=100)
+    parser.add_argument("--step_sched", type=str, default="inv")
+    arguments = parser.parse_args(argv)
+    if not hasattr(arguments, "func"):
+        parser.error("specify a subcommand: run | plot")
+    arguments.func(arguments)
+
+
+if __name__ == "__main__":
+    main()

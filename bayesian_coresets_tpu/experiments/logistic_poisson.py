@@ -1,0 +1,218 @@
+"""Logistic / Poisson regression coreset experiment with weighted NUTS.
+
+TPU-native driver with the capability surface of the reference's
+``examples/logistic_poisson_regression/main.py``: real datasets, cached
+full-data MCMC, Laplace-based projectors (tuned / untuned / black-box),
+four algorithms (SVI, GIGA-OPT, GIGA-REAL, US), per-size weighted-NUTS
+coreset posteriors, and metrics (reverse/forward KL vs the moment-matched
+full posterior, relative mean/cov errors, gradient F-norm Fs, build and
+MCMC timings).  The reference's Stan C++ weighted sampler is replaced by
+the pure-JAX weighted NUTS (mcmc/).
+
+Run:  python -m bayesian_coresets_tpu.experiments.logistic_poisson run \
+          --model lr --dataset synth_lr --alg GIGA-OPT --trial 1
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from .. import coresets as bc
+from .. import mcmc
+from ..models import logistic, poisson
+from ..models.gaussian import kl_divergence
+from ..models.laplace import laplace_approx, sample_laplace
+from ..utils import prng, set_verbosity
+from . import datasets, results
+from .cli import coreset_size_grid, make_parser, step_sched
+
+ALGS = ["SVI", "GIGA-OPT", "GIGA-REAL", "US", "BPSVI"]
+
+
+def run(arguments):
+    import jax
+    import jax.numpy as jnp
+
+    if results.check_exists(arguments):
+        print(f"Results already exist for arguments {arguments}\nQuitting.")
+        return
+    set_verbosity(arguments.verbosity)
+
+    Ms = coreset_size_grid(arguments.coreset_size_max, arguments.coreset_num_sizes,
+                           arguments.coreset_size_spacing, with_zero=False)
+
+    if arguments.model == "lr":
+        model = logistic
+        X, Y, Z, Zt, D = datasets.load_logistic(arguments.dataset)
+    else:
+        model = poisson
+        X, Y, Z, Zt, D = datasets.load_poisson(arguments.dataset)
+    Z = jnp.asarray(Z)
+    N, dz = Z.shape
+    # theta dimension: lr folds y into z (theta dim = dz); poisson appends the
+    # count column (theta dim = dz - 1)
+    dth = dz if arguments.model == "lr" else dz - 1
+    key = prng.fold_seed(arguments.trial)
+
+    # full-data posterior via weighted NUTS, cached (reference main.py:107-127)
+    cache = os.path.join("mcmc_cache",
+                         f"full_samples_{arguments.model}_{arguments.dataset}.npz")
+    if os.path.exists(cache):
+        print("Full MCMC cache exists, loading")
+        with np.load(cache) as tmp:
+            full_samples = tmp["samples"]
+            full_mcmc_time_per_itr = float(tmp["t"])
+    else:
+        print("Running full-data MCMC")
+        key, kmc = jax.random.split(key)
+        full_samples, t_full, _ = mcmc.run(model, Z, jnp.ones(N),
+                                           arguments.mcmc_samples_full, kmc, d=dth)
+        full_samples = np.asarray(full_samples)
+        full_mcmc_time_per_itr = t_full / (arguments.mcmc_samples_full * 2)
+        os.makedirs("mcmc_cache", exist_ok=True)
+        np.savez(cache, samples=full_samples, t=full_mcmc_time_per_itr)
+
+    mup = full_samples.mean(axis=0)
+    Sigp = np.cov(full_samples, rowvar=False)
+    SigpInv = np.linalg.inv(Sigp)
+
+    # Laplace-based projectors (reference main.py:142-163)
+    print("Fitting Laplace approximations")
+    lap_opt = laplace_approx(Z, jnp.ones(N), jnp.zeros(dth),
+                             grad_fn=model.grad_th_log_joint,
+                             hess_fn=model.hess_th_log_joint)
+    key, ksub = jax.random.split(key)
+    sub = jax.random.randint(ksub, (int(np.sqrt(N)),), 0, N)
+    Zhat = Z[sub]
+    lap_real = laplace_approx(Zhat, jnp.ones(Zhat.shape[0]), jnp.zeros(dth),
+                              grad_fn=model.grad_th_log_joint,
+                              hess_fn=model.hess_th_log_joint)
+
+    S = arguments.proj_dim
+    sampler_opt = lambda k, n, w, p: sample_laplace(k, lap_opt, n)
+    sampler_real = lambda k, n, w, p: sample_laplace(k, lap_real, n)
+
+    def sampler_bb(k, n, w, p):
+        # refit a Laplace approximation to the current weighted coreset
+        # (reference main.py:156-163); empty coreset -> prior N(0, I).
+        # p.size is a trace-time constant, so the empty branch resolves at
+        # compile time (an all-zero-weight coreset also yields the prior).
+        if p.size == 0:
+            return jax.random.normal(k, (n, dth))
+        lap = laplace_approx(p, w, jnp.zeros(dth),
+                             grad_fn=model.grad_th_log_joint,
+                             hess_fn=model.hess_th_log_joint, num_iters=20)
+        eps = jax.random.normal(k, (n, dth), lap.mu.dtype)
+        return lap.mu + eps @ lap.USig.T
+
+    sched = step_sched(arguments.step_sched)
+    seed = arguments.trial
+
+    def make_alg(name):
+        if name == "SVI":
+            return bc.SparseVICoreset(
+                Z, bc.BlackBoxProjector(sampler_bb, S, model.log_likelihood,
+                                        model.grad_z_log_likelihood),
+                opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed)
+        if name == "GIGA-OPT":
+            return bc.HilbertCoreset(
+                Z, bc.BlackBoxProjector(sampler_opt, S, model.log_likelihood), seed=seed)
+        if name == "GIGA-REAL":
+            return bc.HilbertCoreset(
+                Z, bc.BlackBoxProjector(sampler_real, S, model.log_likelihood), seed=seed)
+        if name == "US":
+            return bc.UniformSamplingCoreset(Z, seed=seed)
+        if name == "BPSVI":
+            return bc.BatchPSVICoreset(
+                Z, bc.BlackBoxProjector(sampler_bb, S, model.log_likelihood,
+                                        model.grad_z_log_likelihood),
+                opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed)
+        raise ValueError(name)
+
+    alg = make_alg(arguments.alg)
+
+    nM = Ms.shape[0]
+    cputs = np.zeros(nM)
+    mcmc_time_per_itr = np.zeros(nM)
+    csizes = np.zeros(nM)
+    Fs = np.zeros(nM)
+    rklw = np.zeros(nM)
+    fklw = np.zeros(nM)
+    mu_errs = np.zeros(nM)
+    Sig_errs = np.zeros(nM)
+
+    # precompute full-data gradient sums over posterior samples for Fs
+    # (reference main.py:226-228, vectorized instead of a python loop)
+    ths = jnp.asarray(full_samples[: arguments.fs_samples], jnp.float32)
+    gfs = np.asarray(model.grad_th_log_joint(Z, ths, jnp.ones(N)))
+
+    t_alg = 0.0
+    for m in range(nM):
+        print(f"M = {Ms[m]}: coreset construction, {arguments.alg} "
+              f"{arguments.dataset} {arguments.trial}")
+        t0 = time.perf_counter()
+        itrs = int(Ms[m] if m == 0 else Ms[m] - Ms[m - 1])
+        alg.build(itrs)
+        t_alg += time.perf_counter() - t0
+        wts, pts, idcs = alg.get()
+
+        print(f"M = {Ms[m]}: weighted NUTS on coreset")
+        key, kmc = jax.random.split(key)
+        if wts.shape[0] == 0:
+            pts_m = np.zeros((1, dz), np.float32)
+            wts_m = np.zeros(1, np.float32)
+        else:
+            pts_m, wts_m = np.asarray(pts, np.float32), np.asarray(wts, np.float32)
+        cst_samples, t_cst, _ = mcmc.run(model, pts_m, wts_m,
+                                         arguments.mcmc_samples_coreset, kmc, d=dth)
+        cst_samples = np.asarray(cst_samples)
+
+        muw = cst_samples.mean(axis=0)
+        Sigw = np.cov(cst_samples, rowvar=False)
+
+        cputs[m] = t_alg
+        mcmc_time_per_itr[m] = t_cst / (arguments.mcmc_samples_coreset * 2)
+        csizes[m] = (wts_m > 0).sum()
+        gcs = np.asarray(model.grad_th_log_joint(jnp.asarray(pts_m), ths,
+                                                 jnp.asarray(wts_m)))
+        Fs[m] = (((gcs - gfs) ** 2).sum(axis=1)).mean()
+        rklw[m] = float(kl_divergence(muw, Sigw, mup, SigpInv))
+        fklw[m] = float(kl_divergence(mup, Sigp, muw, np.linalg.inv(Sigw)))
+        mu_errs[m] = np.linalg.norm(mup - muw) / np.linalg.norm(mup)
+        Sig_errs[m] = np.linalg.norm(Sigp - Sigw) / np.linalg.norm(Sigp)
+        print(f"M = {Ms[m]}: rkl={rklw[m]:.4f} fkl={fklw[m]:.4f} Fs={Fs[m]:.3e}")
+
+    results.save(arguments, csizes=csizes, Ms=Ms, cputs=cputs, Fs=Fs,
+                 full_mcmc_time_per_itr=np.full(nM, full_mcmc_time_per_itr),
+                 mcmc_time_per_itr=mcmc_time_per_itr, rklw=rklw, fklw=fklw,
+                 mu_errs=mu_errs, Sig_errs=Sig_errs)
+
+
+def main(argv=None):
+    parser, run_p, _ = make_parser(
+        "Logistic/Poisson regression coreset experiment with weighted NUTS")
+    run_p.set_defaults(func=run)
+    parser.add_argument("--model", choices=["lr", "poiss"], default="lr")
+    parser.add_argument("--dataset", type=str, default="synth_lr")
+    parser.add_argument("--alg", type=str, default="GIGA-OPT", choices=ALGS)
+    parser.add_argument("--mcmc_samples_full", type=int, default=10000)
+    parser.add_argument("--mcmc_samples_coreset", type=int, default=10000)
+    parser.add_argument("--proj_dim", type=int, default=500)
+    parser.add_argument("--fs_samples", type=int, default=1000,
+                        help="posterior samples used for the Fs metric")
+    parser.add_argument("--coreset_size_max", type=int, default=1000)
+    parser.add_argument("--coreset_num_sizes", type=int, default=7)
+    parser.add_argument("--coreset_size_spacing", choices=["log", "linear"], default="log")
+    parser.add_argument("--opt_itrs", type=int, default=100)
+    parser.add_argument("--step_sched", type=str, default="inv")
+    arguments = parser.parse_args(argv)
+    if not hasattr(arguments, "func"):
+        parser.error("specify a subcommand: run | plot")
+    arguments.func(arguments)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Experiment-layer tests: results store, plotting, drivers at tiny scale."""
+
+import argparse
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bayesian_coresets_tpu.experiments import results
+from bayesian_coresets_tpu.experiments.cli import coreset_size_grid, step_sched
+
+
+@pytest.fixture
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+class TestResults:
+    def _args(self, **kw):
+        ns = argparse.Namespace(alg="GIGA", trial=1, results_folder="results/",
+                                verbosity="error", func=None)
+        ns.__dict__.update(kw)
+        return ns
+
+    def test_save_and_memoize(self, workdir):
+        args = self._args()
+        assert not results.check_exists(args)
+        results.save(args, Ms=np.array([1, 2, 4]), err=np.array([3.0, 2.0, 1.0]))
+        assert results.check_exists(args)
+        # different args -> different hash
+        assert not results.check_exists(self._args(trial=2))
+
+    def test_hash_excludes_plot_args(self):
+        a1 = self._args()
+        a2 = self._args()
+        a2.plot_x = "Ms"
+        a2.summarize = ["trial"]
+        assert results.hash_namespace(a1) == results.hash_namespace(a2)
+
+    def test_load_matching_filters(self, workdir):
+        for trial in (1, 2):
+            results.save(self._args(trial=trial), Ms=np.array([1, 2]),
+                         err=np.array([2.0, 1.0]))
+        df = results.load_matching({"alg": "GIGA", "results_folder": "results/"})
+        assert len(df) == 4
+        df1 = results.load_matching({"trial": 1, "results_folder": "results/"})
+        assert len(df1) == 2
+
+    def test_mismatched_lengths_rejected(self, workdir):
+        with pytest.raises(ValueError):
+            results.save(self._args(), Ms=np.array([1, 2]), err=np.array([1.0]))
+
+    def test_manifest_aligns_different_namespaces(self, workdir):
+        results.save(self._args(), Ms=np.array([1]), err=np.array([1.0]))
+        results.save(self._args(extra_field=7, trial=3), Ms=np.array([1]),
+                     err=np.array([1.0]))
+        mf = pd.read_csv("results/manifest.csv")
+        assert len(mf) == 2
+        assert str(mf.iloc[0]["alg"]) == "GIGA"
+        assert str(mf.iloc[1]["alg"]) == "GIGA"
+
+
+class TestCLI:
+    def test_step_sched_registry(self):
+        assert abs(step_sched("inv")(1) - 0.5) < 1e-12
+        assert abs(step_sched("const:0.3")(100) - 0.3) < 1e-12
+        assert abs(step_sched("inv:2")(0) - 2.0) < 1e-12
+        with pytest.raises(ValueError):
+            step_sched("lambda i: i")  # eval'd lambdas are rejected
+
+    def test_size_grid(self):
+        Ms = coreset_size_grid(100, 5, "log")
+        assert Ms[0] == 0 and Ms[-1] == 100
+        assert (np.diff(Ms) > 0).all()
+
+
+class TestDrivers:
+    def test_gaussian_driver(self, workdir):
+        from bayesian_coresets_tpu.experiments import gaussian as G
+        G.main(["run", "--alg", "GIGA-OPT", "--trial", "1", "--data_dim", "10",
+                "--data_num", "100", "--proj_dim", "50",
+                "--coreset_size_max", "20", "--coreset_num_sizes", "3"])
+        df = results.load_matching({"alg": "GIGA-OPT", "results_folder": "results/"})
+        assert df is not None
+        rkl = df["rklw"].to_numpy()
+        assert rkl[-1] < rkl[0]
+        # memoization: second run is a no-op (no exception, no duplicate)
+        G.main(["run", "--alg", "GIGA-OPT", "--trial", "1", "--data_dim", "10",
+                "--data_num", "100", "--proj_dim", "50",
+                "--coreset_size_max", "20", "--coreset_num_sizes", "3"])
+        assert len(pd.read_csv("results/manifest.csv")) == 1
+
+    def test_synthetic_vectors_driver_axis(self, workdir):
+        from bayesian_coresets_tpu.experiments import synthetic_vectors as SV
+        SV.main(["run", "--alg", "GIGA", "--trial", "1", "--data_num", "32",
+                 "--data_type", "axis", "--coreset_size_max", "32",
+                 "--coreset_num_sizes", "4"])
+        df = results.load_matching({"alg": "GIGA", "results_folder": "results/"})
+        err = df["err"].to_numpy()
+        assert err[-1] < 1e-3 * np.sqrt(32)  # axis-aligned case is exact
+
+    def test_plot_subcommand(self, workdir):
+        from bayesian_coresets_tpu.experiments import synthetic_vectors as SV
+        SV.main(["run", "--alg", "GIGA", "--trial", "1", "--data_num", "32",
+                 "--data_type", "axis", "--coreset_size_max", "16",
+                 "--coreset_num_sizes", "3"])
+        SV.main(["plot", "Ms", "err", "--plot_legend", "alg", "--plot_out",
+                 "out.png", "--data_num", "32", "--data_type", "axis",
+                 "--coreset_size_max", "16", "--coreset_num_sizes", "3",
+                 "--summarize", "trial"])
+        assert os.path.exists("out.png")
+
+    def test_simple_lr(self, workdir):
+        from bayesian_coresets_tpu.experiments import simple_lr
+        kl, coreset = simple_lr.main(N=500, D=4, projection_dim=100, M=50,
+                                     verbose=False)
+        assert np.isfinite(kl)
+        assert kl < 5.0
+        assert coreset.size() <= 50
