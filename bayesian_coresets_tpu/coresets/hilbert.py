@@ -27,7 +27,8 @@ from .projector import Projector
 
 class HilbertCoreset(Coreset):
     def __init__(self, data, ll_projector: Projector, n_subsample: int | None = None,
-                 snnls=GIGA, seed: int = 0, max_active: int | None = None):
+                 snnls=GIGA, seed: int = 0, max_active: int | None = None,
+                 select_dtype=None):
         super().__init__()
         data = np.asarray(data)
         if n_subsample is None:
@@ -51,7 +52,7 @@ class HilbertCoreset(Coreset):
         b = vecs[valid].sum(axis=0)
         self.snnls = snnls(jnp.asarray(vecs.T), jnp.asarray(b),
                            valid=jnp.asarray(valid), seed=seed,
-                           max_active=max_active)
+                           max_active=max_active, select_dtype=select_dtype)
         self.sub_idcs = sub_idcs
         self.data = data
 

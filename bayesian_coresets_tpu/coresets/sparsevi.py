@@ -173,6 +173,20 @@ class SparseVICoreset(Coreset):
         self._size = jnp.int32(0)
         super().reset()
 
+    def save(self, path: str):
+        """Checkpoint (wts, idcs, size, key) for incremental-build resume."""
+        from ..utils import checkpoint
+        checkpoint.save(path, (self._wts, self._idcs, self._size, self._key))
+
+    def restore(self, path: str):
+        from ..utils import checkpoint
+        leaves, _ = checkpoint.load(path)
+        self._wts, self._idcs, self._size, self._key = (
+            jnp.asarray(leaves[0]), jnp.asarray(leaves[1], jnp.int32),
+            jnp.int32(leaves[2]), leaves[3])
+        self._cap = int(self._wts.shape[0])
+        self._sync()
+
     def _ensure_capacity(self, extra: int):
         need = int(self._size) + extra
         if need <= self._cap:

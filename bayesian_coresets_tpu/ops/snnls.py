@@ -52,6 +52,14 @@ class SNNLSConsts(NamedTuple):
     bnorm: jax.Array   # scalar ||b||
     valid: jax.Array   # (n,) bool mask of selectable columns
     ps: jax.Array      # (n,) sampling probabilities (IS/US; zeros elsewhere)
+    Vsel: jax.Array    # (n, S) select-phase copy of V.  Selection is an
+    #                    argmax, so reduced precision only perturbs near-ties
+    #                    while all weight/error arithmetic stays f32:
+    #                    - bfloat16: half the HBM traffic of the score matmul
+    #                    - int8: quarter traffic; rows stored PRE-NORMALIZED
+    #                      and scaled to +-127 (the /norms division folds into
+    #                      the dequantization constant), MXU int8 path
+    #                    - None: aliases V (bit-exact reference behavior)
 
 
 class SNNLSState(NamedTuple):
@@ -68,8 +76,8 @@ class SNNLSState(NamedTuple):
     key: jax.Array     # PRNG key (sampling solvers)
 
 
-@partial(jax.jit, static_argnames=("sampling",))
-def _make_consts(V, b, valid, sampling) -> SNNLSConsts:
+@partial(jax.jit, static_argnames=("sampling", "select_dtype"))
+def _make_consts(V, b, valid, sampling, select_dtype) -> SNNLSConsts:
     norms = jnp.sqrt(jnp.sum(V * V, axis=1))
     valid = valid & (norms > 0)
     norms = jnp.where(valid, norms, 1.0)
@@ -85,17 +93,29 @@ def _make_consts(V, b, valid, sampling) -> SNNLSConsts:
         ps = jnp.where(valid, 1.0 / nv, 0.0)
     else:
         ps = jnp.zeros(V.shape[0], dtype=V.dtype)
-    return SNNLSConsts(V, b, norms, bnorm, valid, ps)
+    if select_dtype is None:
+        Vsel = V
+    elif select_dtype == jnp.int8:
+        Vn = V / norms[:, None]
+        Vsel = jnp.clip(jnp.round(Vn * 127.0), -127, 127).astype(jnp.int8)
+    else:
+        Vsel = V.astype(select_dtype)
+    return SNNLSConsts(V, b, norms, bnorm, valid, ps, Vsel)
 
 
 def make_consts(A: jax.Array, b: jax.Array, valid: jax.Array | None = None,
-                sampling: str | None = None) -> SNNLSConsts:
-    """Precompute solver constants from A (S, n) and b (S,)."""
+                sampling: str | None = None,
+                select_dtype=None) -> SNNLSConsts:
+    """Precompute solver constants from A (S, n) and b (S,).
+
+    ``select_dtype=jnp.bfloat16`` stores a half-precision copy of V used
+    only for the greedy-selection score matmuls (see SNNLSConsts.Vsel).
+    """
     V = jnp.asarray(A).T
     b = jnp.asarray(b)
     if valid is None:
         valid = jnp.ones(V.shape[0], dtype=bool)
-    return _make_consts(V, b, jnp.asarray(valid), sampling)
+    return _make_consts(V, b, jnp.asarray(valid), sampling, select_dtype)
 
 
 def init_state(consts: SNNLSConsts, key: jax.Array | None = None,
@@ -138,6 +158,27 @@ def _normalize(x):
     return x / n, n
 
 
+def _select_dots(consts: SNNLSConsts, dirs):
+    """An^T @ dirs for every candidate column, via the select-phase copy.
+
+    ``dirs``: (S,) or (S, k) direction(s); entries must be in [-1, 1] for the
+    int8 path (callers pass unit vectors / normalized residuals).  Returns
+    f32 (n,) or (n, k).
+    """
+    one_d = dirs.ndim == 1
+    d2 = dirs[:, None] if one_d else dirs
+    if consts.Vsel.dtype == jnp.int8:
+        q = jnp.clip(jnp.round(d2 * 127.0), -127, 127).astype(jnp.int8)
+        dots = jax.lax.dot_general(consts.Vsel, q, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        out = dots.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    else:
+        dots = jnp.dot(consts.Vsel, d2.astype(consts.Vsel.dtype),
+                       preferred_element_type=jnp.float32)
+        out = dots / consts.norms[:, None]
+    return out[:, 0] if one_d else out
+
+
 def _rank1_update(state: SNNLSState, consts: SNNLSConsts, f, alpha, beta):
     """w <- alpha*w; w[f] = max(0, w[f] + beta); update cached xw exactly."""
     old_wf = state.w[f]
@@ -162,9 +203,8 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol):
     cdirn = _safe_div(cdir, cdirnrm)
 
     # scores for every candidate: one thin matmul (n,S)@(S,2)
-    dirs = jnp.stack([cdirn, xwn], axis=1)          # (S, 2)
-    dots = jnp.dot(consts.V, dirs, preferred_element_type=jnp.float32)
-    dots = dots / consts.norms[:, None]             # == An^T [cdir, xw]
+    dirs = jnp.stack([cdirn, xwn], axis=1)          # (S, 2), unit columns
+    dots = _select_dots(consts, dirs)               # == An^T [cdir, xw]
     d1 = dots[:, 1]
     geo_ok = (d1 > -1.0 + 1e-14) & (1.0 - d1 * d1 > 0.0)   # giga.py:33
     denom = jnp.sqrt(jnp.clip(1.0 - d1 * d1, 1e-30, None))
@@ -203,7 +243,8 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol):
 
 def _fw_step(consts: SNNLSConsts, state: SNNLSState, tol):
     resid = consts.b - state.xw
-    dots = jnp.dot(consts.V, resid, preferred_element_type=jnp.float32) / consts.norms
+    rn, _ = _normalize(resid)        # scale-invariant for the argmax
+    dots = _select_dots(consts, rn)
     dots = jnp.where(consts.valid, dots, _NEG_INF)
     f = jnp.argmax(dots)
 
@@ -232,7 +273,8 @@ def _fw_step(consts: SNNLSConsts, state: SNNLSState, tol):
 
 def _omp_step(consts: SNNLSConsts, state: SNNLSState, tol, nnls_iters: int = 256):
     resid = consts.b - state.xw
-    dots = jnp.dot(consts.V, resid, preferred_element_type=jnp.float32) / consts.norms
+    rn, _ = _normalize(resid)        # scale-invariant: only comparisons matter
+    dots = _select_dots(consts, rn)
     pos_dots = jnp.where(consts.valid, dots, _NEG_INF)
     fpos = jnp.argmax(pos_dots)
     active = state.w > 0
@@ -377,11 +419,13 @@ class SparseNNLS:
 
     method: str = "giga"
 
-    def __init__(self, A, b, valid=None, seed: int = 0, max_active: int | None = None):
+    def __init__(self, A, b, valid=None, seed: int = 0, max_active: int | None = None,
+                 select_dtype=None):
         A = jnp.asarray(A, config.default_dtype())
         b = jnp.asarray(b, config.default_dtype())
         sampling = self.method if self.method in ("importance", "uniform") else None
-        self.consts = make_consts(A, b, valid=valid, sampling=sampling)
+        self.consts = make_consts(A, b, valid=valid, sampling=sampling,
+                                  select_dtype=select_dtype)
         if self.method in ("giga", "frankwolfe", "orthopursuit"):
             # replicate the reference's zero-column rejection (giga.py:11-13);
             # explicitly-masked (padded) columns are exempt.
@@ -399,6 +443,15 @@ class SparseNNLS:
     # -- reference API ------------------------------------------------------
     def reset(self):
         self.state = init_state(self.consts, jax.random.key(self._seed), self._max_active)
+
+    def save(self, path: str):
+        """Checkpoint the solver state (resume with :meth:`restore`)."""
+        from ..utils import checkpoint
+        checkpoint.save(path, self.state, meta={"method": self.method})
+
+    def restore(self, path: str):
+        from ..utils import checkpoint
+        self.state, _ = checkpoint.load(path, like=self.state)
 
     def size(self) -> int:
         return int(jnp.sum(self.state.w > 0))

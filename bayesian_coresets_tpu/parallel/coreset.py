@@ -36,6 +36,7 @@ def shard_consts(consts: snnls.SNNLSConsts, mesh: Mesh,
         bnorm=jax.device_put(consts.bnorm, rep),
         valid=jax.device_put(consts.valid, col),
         ps=jax.device_put(consts.ps, col),
+        Vsel=jax.device_put(consts.Vsel, v_sharding),
     )
 
 

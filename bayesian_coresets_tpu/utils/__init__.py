@@ -9,12 +9,15 @@ is an explicit config value so compiled code never closes over mutable
 globals.
 """
 
+from . import checkpoint, profiling
 from .config import TOL, get_tolerance, set_tolerance, default_dtype
 from .errors import NumericalPrecisionError
 from .log import get_logger, set_verbosity
 from .prng import fold_seed, split_like
 
 __all__ = [
+    "checkpoint",
+    "profiling",
     "TOL",
     "get_tolerance",
     "set_tolerance",

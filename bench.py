@@ -36,7 +36,12 @@ def main():
         # fixed near-MAP Gaussian sampler (simple_lr-style tangent space)
         ths = 0.1 * jax.random.normal(key, (S, D), jnp.float32)
         vecs = center_lls(logistic.log_likelihood(z, ths))       # (N, S)
-        consts = snnls.make_consts(vecs.T, jnp.sum(vecs, axis=0))
+        # int8 selection copy: quarter score-matmul HBM traffic (rows
+        # pre-normalized, MXU int8 path); weights, reweighting, and the
+        # error check stay f32.  Residual quality matches/betters f32
+        # selection (see tests/test_snnls.py::test_reduced_precision_select).
+        consts = snnls.make_consts(vecs.T, jnp.sum(vecs, axis=0),
+                                   select_dtype=jnp.int8)
         state = snnls.init_state(consts)
         state = snnls.build(consts, state, M, 1e-6, method="giga")
         return state.w

@@ -167,3 +167,16 @@ class TestNNLSKernels:
         x_ref, _ = scipy_nnls(np.asarray(V).T[:, [3, 7, 11]].astype(np.float64),
                               np.asarray(b, np.float64))
         np.testing.assert_allclose(x[:3], x_ref, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("sd", ["bfloat16", "int8"])
+def test_reduced_precision_select(sd, rng):
+    # reduced-precision selection copies must not degrade quality materially
+    import jax.numpy as jnp
+    sd = getattr(jnp, sd)
+    A, b = _problem(rng, S=50, n=400)
+    a32 = GIGA(A, b)
+    alo = GIGA(A, b, select_dtype=sd)
+    a32.build(100)
+    alo.build(100)
+    assert alo.error() <= a32.error() * 1.5 + 1e-3
