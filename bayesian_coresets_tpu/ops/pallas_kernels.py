@@ -1,0 +1,121 @@
+"""Pallas TPU kernels for the greedy-selection hot loop.
+
+The per-iteration cost of the snnls build loop (SURVEY.md §3.1: the
+hottest path in the framework) is one streaming pass over the (n, S)
+selection matrix plus several small elementwise/reduction kernels.  XLA
+already runs the streaming matmul at HBM speed-of-light; this kernel fuses
+the score computation (matmul + geodesic guards + masking) WITH the argmax
+reduction into a single pass, eliminating the intermediate (n, 2) score
+materialization and the separate reduction kernels.
+
+Used by the GIGA select when ``use_pallas=True`` is passed to
+:func:`bayesian_coresets_tpu.ops.snnls.build`.
+
+MEASURED (v5e, N=100k, S=500, int8 selection copy): the XLA path runs the
+select at HBM speed-of-light (~0.072s for M=500) and this kernel is ~2.5x
+slower (~0.178s) because the MXU's 128-lane minimum wastes 64x compute on
+the 2-column direction matmul.  XLA fusion is SUFFICIENT for this op at
+these shapes, so the kernel is off by default; it is kept (a) as the fused
+pattern for future shapes where the intermediate (n, 2) materialization
+matters (very large n with narrow VMEM headroom), and (b) as a tested
+example of the framework's Pallas integration path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float("-inf")
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _giga_select_kernel(v_ref, dirs_ref, nrminv_ref, bias_ref,
+                        score_ref, idx_ref, *, tile_rows: int):
+    """One row-tile: fused scores + local argmax.
+
+    v_ref:      (T, Sp) selection matrix tile (f32/bf16/int8)
+    dirs_ref:   (Sp, 128) direction block; col 0 = cdir_n, col 1 = xw_n,
+                remaining columns zero (lane padding)
+    nrminv_ref: (T, 1) f32 reciprocal column norms (1 for int8/pre-normalized)
+    bias_ref:   (T, 1) f32 additive mask (0 valid, -inf invalid/padding)
+    score_ref:  (1, 1) f32 out — best score in tile
+    idx_ref:    (1, 1) int32 out — row index (tile-local) of best score
+    """
+    i = pl.program_id(0)
+    v = v_ref[:]
+    if v.dtype == jnp.int8:
+        acc = jax.lax.dot_general(
+            v, dirs_ref[:],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        dots = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    else:
+        dots = jax.lax.dot_general(
+            v, dirs_ref[:].astype(v.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dots = dots * nrminv_ref[:]                      # (T, 128); cols 0,1 live
+
+    d0 = dots[:, 0]
+    d1 = dots[:, 1]
+    geo_ok = (d1 > -1.0 + 1e-14) & (1.0 - d1 * d1 > 0.0)
+    denom = jnp.sqrt(jnp.clip(1.0 - d1 * d1, 1e-30, None))
+    score = jnp.where(geo_ok, d0 / denom, 0.0) + bias_ref[:, 0]
+
+    best = jnp.max(score)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)[:, 0]
+    best_row = jnp.min(jnp.where(score == best, rows, tile_rows))
+    score_ref[i, 0] = best
+    idx_ref[i, 0] = best_row + i * tile_rows
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def giga_select_pallas(Vsel: jax.Array, dirs2: jax.Array, nrminv: jax.Array,
+                       bias: jax.Array, tile_rows: int = 1024):
+    """Fused GIGA selection: returns (global argmax index, its score).
+
+    Vsel: (np, Sp) with np % tile_rows == 0 and Sp % 128 == 0 (make_consts
+    pads the selection copy once); dirs2: (S, 2) [cdir_n, xw_n] with
+    S <= Sp; nrminv: (np,) reciprocal norms; bias: (np,) additive mask
+    (-inf on invalid/padded rows).
+    """
+    np_rows, Sp = Vsel.shape
+    S = dirs2.shape[0]
+    assert np_rows % tile_rows == 0 and Sp % 128 == 0
+    if Vsel.dtype == jnp.int8:
+        # quantize the (unit-norm) directions to match the int8 MXU path
+        dirs2 = jnp.clip(jnp.round(dirs2 * 127.0), -127, 127).astype(jnp.int8)
+    dirs = jnp.zeros((Sp, 128), dirs2.dtype).at[:S, :2].set(dirs2)
+
+    grid = np_rows // tile_rows
+    scores, idcs = pl.pallas_call(
+        functools.partial(_giga_select_kernel, tile_rows=tile_rows),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, Sp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sp, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, 1), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 1), jnp.int32),
+        ],
+    )(Vsel, dirs, nrminv[:, None].astype(jnp.float32),
+      bias[:, None].astype(jnp.float32))
+
+    t = jnp.argmax(scores[:, 0])
+    return idcs[t, 0], scores[t, 0]

@@ -95,11 +95,18 @@ def _make_consts(V, b, valid, sampling, select_dtype) -> SNNLSConsts:
         ps = jnp.zeros(V.shape[0], dtype=V.dtype)
     if select_dtype is None:
         Vsel = V
-    elif select_dtype == jnp.int8:
-        Vn = V / norms[:, None]
-        Vsel = jnp.clip(jnp.round(Vn * 127.0), -127, 127).astype(jnp.int8)
     else:
-        Vsel = V.astype(select_dtype)
+        if select_dtype == jnp.int8:
+            Vn = V / norms[:, None]
+            Vsel = jnp.clip(jnp.round(Vn * 127.0), -127, 127).astype(jnp.int8)
+        else:
+            Vsel = V.astype(select_dtype)
+        # pad to TPU-friendly tiles once (rows: select kernel tile multiple;
+        # cols: lane width) — padded rows/cols are zero and masked out
+        n, S = Vsel.shape
+        np_rows = -(-n // 1024) * 1024
+        Sp = -(-S // 128) * 128
+        Vsel = jnp.pad(Vsel, ((0, np_rows - n), (0, Sp - S)))
     return SNNLSConsts(V, b, norms, bnorm, valid, ps, Vsel)
 
 
@@ -167,15 +174,19 @@ def _select_dots(consts: SNNLSConsts, dirs):
     """
     one_d = dirs.ndim == 1
     d2 = dirs[:, None] if one_d else dirs
+    n = consts.V.shape[0]
+    Sp = consts.Vsel.shape[1]
+    if Sp != d2.shape[0]:                         # padded selection copy
+        d2 = jnp.pad(d2, ((0, Sp - d2.shape[0]), (0, 0)))
     if consts.Vsel.dtype == jnp.int8:
         q = jnp.clip(jnp.round(d2 * 127.0), -127, 127).astype(jnp.int8)
         dots = jax.lax.dot_general(consts.Vsel, q, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)
-        out = dots.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+        out = dots.astype(jnp.float32)[:n] * (1.0 / (127.0 * 127.0))
     else:
         dots = jnp.dot(consts.Vsel, d2.astype(consts.Vsel.dtype),
                        preferred_element_type=jnp.float32)
-        out = dots / consts.norms[:, None]
+        out = dots[:n] / consts.norms[:, None]
     return out[:, 0] if one_d else out
 
 
@@ -193,7 +204,7 @@ def _rank1_update(state: SNNLSState, consts: SNNLSConsts, f, alpha, beta):
 # GIGA — greedy iterative geodesic ascent (reference snnls/giga.py:6-64)
 # ---------------------------------------------------------------------------
 
-def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol):
+def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol, use_pallas: bool = False):
     bn = _safe_div(consts.b, consts.bnorm)
     xwn, _ = _normalize(state.xw)
 
@@ -202,15 +213,29 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol):
     ok_sel = cdirnrm >= tol                         # giga.py:27-29
     cdirn = _safe_div(cdir, cdirnrm)
 
-    # scores for every candidate: one thin matmul (n,S)@(S,2)
     dirs = jnp.stack([cdirn, xwn], axis=1)          # (S, 2), unit columns
-    dots = _select_dots(consts, dirs)               # == An^T [cdir, xw]
-    d1 = dots[:, 1]
-    geo_ok = (d1 > -1.0 + 1e-14) & (1.0 - d1 * d1 > 0.0)   # giga.py:33
-    denom = jnp.sqrt(jnp.clip(1.0 - d1 * d1, 1e-30, None))
-    score = jnp.where(geo_ok, dots[:, 0] / denom, 0.0)     # giga.py:34-37
-    score = jnp.where(consts.valid, score, _NEG_INF)
-    f = jnp.argmax(score)
+    if use_pallas:
+        # fused scores+argmax in one streaming pass (ops/pallas_kernels.py)
+        from .pallas_kernels import giga_select_pallas
+        n = consts.V.shape[0]
+        np_rows = consts.Vsel.shape[0]
+        if consts.Vsel.dtype == jnp.int8:
+            nrminv = jnp.ones(n, jnp.float32)
+        else:
+            nrminv = 1.0 / consts.norms
+        nrminv = jnp.pad(nrminv, (0, np_rows - n), constant_values=1.0)
+        bias = jnp.where(consts.valid, 0.0, _NEG_INF)
+        bias = jnp.pad(bias, (0, np_rows - n), constant_values=_NEG_INF)
+        f, _ = giga_select_pallas(consts.Vsel, dirs, nrminv, bias)
+    else:
+        # scores for every candidate: one thin matmul (n,S)@(S,2)
+        dots = _select_dots(consts, dirs)           # == An^T [cdir, xw]
+        d1 = dots[:, 1]
+        geo_ok = (d1 > -1.0 + 1e-14) & (1.0 - d1 * d1 > 0.0)   # giga.py:33
+        denom = jnp.sqrt(jnp.clip(1.0 - d1 * d1, 1e-30, None))
+        score = jnp.where(geo_ok, dots[:, 0] / denom, 0.0)     # giga.py:34-37
+        score = jnp.where(consts.valid, score, _NEG_INF)
+        f = jnp.argmax(score)
 
     # reweight (giga.py:40-64), O(S) via cached xw
     xf = consts.V[f]
@@ -332,10 +357,18 @@ _CHECK_MONOTONE = {
 # Shared greedy build loop (reference snnls/snnls.py:31-79)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("method",), donate_argnums=(1,))
-def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga") -> SNNLSState:
-    """Run up to ``itrs`` greedy iterations (continues from current state)."""
-    step_fn = _STEP_FNS[method]
+@partial(jax.jit, static_argnames=("method", "use_pallas"), donate_argnums=(1,))
+def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga",
+          use_pallas: bool = False) -> SNNLSState:
+    """Run up to ``itrs`` greedy iterations (continues from current state).
+
+    ``use_pallas=True`` routes the GIGA selection through the fused Pallas
+    kernel (requires a reduced-precision select copy, i.e. select_dtype set).
+    """
+    if use_pallas and method == "giga":
+        step_fn = partial(_giga_step, use_pallas=True)
+    else:
+        step_fn = _STEP_FNS[method]
     check_monotone = _CHECK_MONOTONE[method]
     itr_end = state.itr + jnp.asarray(itrs, jnp.int32)
 
