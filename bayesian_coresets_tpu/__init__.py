@@ -20,6 +20,8 @@ jitted core with static shapes.
 """
 
 from . import models, mcmc, ops, parallel, utils
+from . import utils as util           # reference spelling: bc.util.set_verbosity
+from .ops import snnls                # reference pattern: bc.snnls.GIGA (snnls/__init__.py:1-4)
 from .coresets import (
     BatchPSVICoreset,
     Coreset,
@@ -38,6 +40,8 @@ __all__ = [
     "ops",
     "parallel",
     "utils",
+    "util",
+    "snnls",
     "Coreset",
     "HilbertCoreset",
     "SparseVICoreset",

@@ -1,0 +1,73 @@
+"""Coreset visualization: data, weighted coreset points, posterior ellipses.
+
+Covers the reference's ``examples/gaussian/plot_coreset_pts.py:32-110``:
+scatter the dataset, overlay coreset points sized by weight, and draw 2-sigma
+posterior ellipses (true posterior vs coreset posterior) for each recorded
+build size.  For d > 2 a random 2D projection is used, as in the reference's
+``plot_gaussian_projected2d`` (examples/common/plotting.py:160-183).
+
+Run: python -m bayesian_coresets_tpu.experiments.visualize results/coreset_data.pk
+"""
+
+from __future__ import annotations
+
+import pickle
+import sys
+
+import numpy as np
+
+from .plotting import PALETTE, plot_gaussian_ellipse
+
+
+def plot_coreset_pts(coreset_data_path: str, out_prefix: str = "coreset_pts",
+                     seed: int = 0, max_panels: int = 6):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(coreset_data_path, "rb") as f:
+        (x, mu0, Sig0, Sig, mup, Sigp, w, p, muw, Sigw) = pickle.load(f)
+
+    d = x.shape[1]
+    if d > 2:
+        rng = np.random.default_rng(seed)
+        proj = np.linalg.qr(rng.normal(size=(d, 2)))[0]     # random 2D frame
+    else:
+        proj = np.eye(2)
+
+    x2 = x @ proj
+    mup2 = mup @ proj
+    Sigp2 = proj.T @ Sigp @ proj
+
+    sizes = list(range(len(w)))[-max_panels:]
+    fig, axes = plt.subplots(1, len(sizes), figsize=(5 * len(sizes), 5),
+                             squeeze=False)
+    for ax, m in zip(axes[0], sizes):
+        ax.scatter(x2[:, 0], x2[:, 1], s=4, color="#cccccc", label="data")
+        if len(w[m]) > 0:
+            p2 = np.atleast_2d(p[m]) @ proj
+            ax.scatter(p2[:, 0], p2[:, 1], s=4 + 40 * np.asarray(w[m]) / max(np.max(w[m]), 1e-9),
+                       color=PALETTE[1], label="coreset")
+        plot_gaussian_ellipse(ax, mup2, Sigp2, PALETTE[0], lw=2, label="posterior")
+        muw2 = muw[m] @ proj
+        Sigw2 = proj.T @ Sigw[m] @ proj
+        plot_gaussian_ellipse(ax, muw2, Sigw2, PALETTE[3], lw=2, ls="--",
+                              label="coreset posterior")
+        ax.set_title(f"size {int((np.asarray(w[m]) > 0).sum())}")
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    out = f"{out_prefix}.png"
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    path = argv[0] if argv else "results/coreset_data.pk"
+    out = plot_coreset_pts(path)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
