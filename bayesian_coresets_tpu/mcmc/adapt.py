@@ -60,6 +60,22 @@ def welford_update(state: WelfordState, x) -> WelfordState:
     return WelfordState(count, mean, m2)
 
 
+def welford_update_batch(state: WelfordState, xs) -> WelfordState:
+    """Merge a batch of samples xs (C, d) in one step (Chan et al. parallel
+    update) — used by pooled cross-chain adaptation where every warmup step
+    contributes one position per chain."""
+    import jax.numpy as _jnp
+
+    c = xs.shape[0]
+    batch_mean = _jnp.mean(xs, axis=0)
+    batch_m2 = _jnp.sum((xs - batch_mean) ** 2, axis=0)
+    count = state.count + c
+    delta = batch_mean - state.mean
+    mean = state.mean + delta * (c / count)
+    m2 = state.m2 + batch_m2 + delta**2 * (state.count * c / count)
+    return WelfordState(count, mean, m2)
+
+
 def welford_variance(state: WelfordState):
     """Regularized variance estimate (Stan's shrinkage toward unit)."""
     n = jnp.maximum(state.count, 1.0)

@@ -21,6 +21,7 @@ from .adapt import (
     find_reasonable_step_size,
     welford_init,
     welford_update,
+    welford_update_batch,
     welford_variance,
 )
 from .integrators import IntegratorState
@@ -85,22 +86,93 @@ def _single_chain(logdensity_fn, init_z, key, num_warmup, num_samples,
     return zs, jnp.mean(accepts), jnp.sum(divs), step_size, inv_mass
 
 
+def _pooled_chains(logdensity_fn, init_params, key, num_warmup, num_samples,
+                   max_depth, target_accept, in_slow, window_end):
+    """Warmup with CROSS-CHAIN pooled adaptation: one shared step size driven
+    by the mean acceptance statistic over all chains, and one shared mass
+    matrix estimated from every chain's positions (Chan-merged Welford).
+    With chains sharded over a mesh these means become XLA collectives —
+    the 'collective step-size adaptation' of the distributed design."""
+    vg = jax.value_and_grad(logdensity_fn)
+    num_chains, d = init_params.shape
+    dtype = init_params.dtype
+
+    logp0, grad0 = jax.vmap(vg)(init_params)
+    states0 = IntegratorState(init_params, jnp.zeros_like(init_params), logp0, grad0)
+
+    key, k_find = jax.random.split(key)
+    inv_mass = jnp.ones(d, dtype)
+    step0 = find_reasonable_step_size(vg, init_params[0], logp0[0], grad0[0],
+                                      inv_mass, k_find)
+    da0 = da_init(step0)
+    wf0 = welford_init(d, dtype)
+
+    kernel = jax.vmap(
+        lambda k, s, step, im: nuts_kernel(vg, k, s, step, im, max_depth),
+        in_axes=(0, 0, None, None))
+
+    def warmup_step(carry, xs):
+        states, da, wf, inv_mass, key = carry
+        slow, wend = xs
+        key, k = jax.random.split(key)
+        ks = jax.random.split(k, num_chains)
+        states, infos = kernel(ks, states, jnp.exp(da.log_step), inv_mass)
+        da = da_update(da, jnp.mean(infos.accept_prob), target=target_accept)
+        wf = jax.tree.map(lambda new, old: jnp.where(slow, new, old),
+                          welford_update_batch(wf, states.z), wf)
+        inv_mass = jnp.where(wend, welford_variance(wf), inv_mass)
+        da = jax.tree.map(lambda a, b: jnp.where(wend, a, b),
+                          da_init(jnp.exp(da.log_step)), da)
+        wf = jax.tree.map(lambda a, b: jnp.where(wend, a, b),
+                          welford_init(d, dtype), wf)
+        return (states, da, wf, inv_mass, key), None
+
+    (states, da, _, inv_mass, key), _ = jax.lax.scan(
+        warmup_step, (states0, da0, wf0, inv_mass, key), (in_slow, window_end))
+
+    step_size = jnp.exp(da.log_step_avg)
+
+    def sample_step(carry, _):
+        states, key = carry
+        key, k = jax.random.split(key)
+        ks = jax.random.split(k, num_chains)
+        states, infos = kernel(ks, states, step_size, inv_mass)
+        return (states, key), (states.z, infos.accept_prob, infos.diverging)
+
+    (_, _), (zs, accepts, divs) = jax.lax.scan(
+        sample_step, (states, key), None, length=num_samples)
+    # zs: (num_samples, chains, d) -> (chains, num_samples, d)
+    zs = jnp.swapaxes(zs, 0, 1)
+    return (zs, jnp.mean(accepts, axis=0), jnp.sum(divs, axis=0),
+            jnp.full((num_chains,), step_size), jnp.tile(inv_mass, (num_chains, 1)))
+
+
 @partial(jax.jit, static_argnames=("logdensity_fn", "num_warmup", "num_samples",
-                                   "max_depth"))
+                                   "max_depth", "pooled_adaptation"))
 def run_nuts(logdensity_fn: Callable, init_params: jax.Array, key,
              num_warmup: int = 1000, num_samples: int = 1000,
-             max_depth: int = 10, target_accept: float = 0.8) -> MCMCResult:
+             max_depth: int = 10, target_accept: float = 0.8,
+             pooled_adaptation: bool = False) -> MCMCResult:
     """Sample with NUTS.  ``init_params``: (num_chains, d); returns all chains.
 
     ``target_accept`` default 0.8; the reference drivers use Stan's
     adapt_delta=0.9 (mcmc.py:58) — pass 0.9 for strict parity.
+    ``pooled_adaptation=True`` shares step-size/mass adaptation across all
+    chains (collective statistics; reduces warmup variance and keeps sharded
+    chains in lockstep).
     """
     in_slow_np, wend_np = build_schedule(num_warmup)
     in_slow = jnp.asarray(in_slow_np)
     wend = jnp.asarray(wend_np)
     num_chains = init_params.shape[0]
-    keys = jax.random.split(key, num_chains)
 
+    if pooled_adaptation:
+        zs, acc, divs, steps, inv_mass = _pooled_chains(
+            logdensity_fn, init_params, key, num_warmup, num_samples,
+            max_depth, target_accept, in_slow, wend)
+        return MCMCResult(zs, acc, divs, steps, inv_mass)
+
+    keys = jax.random.split(key, num_chains)
     chain = partial(_single_chain, logdensity_fn,
                     num_warmup=num_warmup, num_samples=num_samples,
                     max_depth=max_depth, target_accept=target_accept,

@@ -143,3 +143,20 @@ class TestPoissonPosterior:
                              grad_fn=poisson.grad_th_log_joint,
                              hess_fn=poisson.hess_th_log_joint)
         np.testing.assert_allclose(s.mean(0), np.asarray(lap.mu), atol=0.1)
+
+
+class TestPooledAdaptation:
+    def test_pooled_moments_and_shared_step(self):
+        cov = jnp.asarray([[2.0, 1.2], [1.2, 1.5]])
+        prec = jnp.linalg.inv(cov)
+        logp = lambda th: -0.5 * th @ prec @ th
+        res = run_nuts(logp, jnp.zeros((4, 2)), jax.random.key(0),
+                       num_warmup=500, num_samples=1000, pooled_adaptation=True)
+        s = np.asarray(res.samples).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(s, rowvar=False), np.asarray(cov),
+                                   rtol=0.15, atol=0.1)
+        # one shared step size and mass matrix across chains
+        assert np.unique(np.asarray(res.step_size)).size == 1
+        assert (np.asarray(res.inv_mass_diag) ==
+                np.asarray(res.inv_mass_diag)[0]).all()
+        assert (np.asarray(res.accept_prob) > 0.5).all()
