@@ -166,6 +166,12 @@ def run(arguments):
             wts_m = np.zeros(1, np.float32)
         else:
             pts_m, wts_m = np.asarray(pts, np.float32), np.asarray(wts, np.float32)
+        # pad the coreset to a power-of-two bucket with zero weights: the
+        # padded rows contribute exactly nothing to the log-density, and the
+        # NUTS jit compiles once per bucket instead of once per size
+        pad = 1 << int(np.ceil(np.log2(max(pts_m.shape[0], 8))))
+        pts_m = np.vstack([pts_m, np.zeros((pad - pts_m.shape[0], dz), np.float32)])
+        wts_m = np.concatenate([wts_m, np.zeros(pad - wts_m.shape[0], np.float32)])
         cst_samples, t_cst, _ = mcmc.run(model, pts_m, wts_m,
                                          arguments.mcmc_samples_coreset, kmc, d=dth)
         cst_samples = np.asarray(cst_samples)
