@@ -158,3 +158,44 @@ class TestUniform:
         us.build(50)
         w2, _, _ = us.get()
         np.testing.assert_allclose(w2.sum(), g["N"], rtol=1e-6)
+
+
+class TestExactFamilies:
+    def test_gaussian_exact_matches_blackbox_limit(self, gauss_setup):
+        # exact tangent features must reproduce the Hilbert inner products the
+        # black-box projector only estimates: compare residual-norm trajectories
+        import jax
+        import jax.numpy as jnp
+        from bayesian_coresets_tpu.coresets import FamilyProjector, gaussian_tangent_family
+        g = gauss_setup
+        d = g["d"]
+        fam = gaussian_tangent_family(jnp.zeros(d), jnp.eye(d), jnp.eye(d), jnp.eye(d))
+        prj = FamilyProjector(fam)
+        prj.update(jnp.ones(g["N"]), g["x"])
+        hc = bct.HilbertCoreset(g["x"], prj)
+        hc.build(100)
+        w, p, i = hc.get()
+        # exact projector should reach at least black-box quality
+        assert g["rkl"](w, p) < 0.5
+
+    def test_exact_features_inner_products(self):
+        # <feat_i, feat_j>/dim should equal the exact tangent-space inner
+        # product; verify against a huge-S Monte-Carlo black-box estimate
+        import jax
+        import jax.numpy as jnp
+        from bayesian_coresets_tpu.coresets import gaussian_tangent_family, center_lls
+        from bayesian_coresets_tpu.models import gaussian
+        d, n, S = 3, 6, 200_000
+        key = jax.random.key(0)
+        x = gaussian.gen_synthetic(key, n, d)
+        mu0, I = jnp.zeros(d), jnp.eye(d)
+        fam = gaussian_tangent_family(mu0, I, I, I)
+        ctx = fam.make_ctx(key, jnp.ones(n), x)
+        feats = np.asarray(fam.project(ctx, x))          # (n, d+1)
+        exact = feats @ feats.T / feats.shape[1]
+        # black-box MC estimate under the same posterior
+        samples = gaussian.sample_weighted_post(jax.random.key(1), mu0, I, I, x,
+                                                jnp.ones(n), S)
+        lls = np.asarray(center_lls(gaussian.log_likelihood(x, samples, I, 0.0)))
+        mc = lls @ lls.T / S
+        np.testing.assert_allclose(exact, mc, rtol=0.05, atol=0.05 * np.abs(mc).max())
