@@ -500,10 +500,37 @@ class SparseNNLS:
     def reached_numeric_limit(self) -> bool:
         return bool(self.state.done)
 
-    def build(self, itrs: int):
+    def build(self, itrs: int, checkpoint_path: str | None = None,
+              checkpoint_every: int | None = None):
+        """Run ``itrs`` greedy iterations (incremental).
+
+        With ``checkpoint_path``, the state is persisted every
+        ``checkpoint_every`` iterations (default: once at the end) and, if a
+        checkpoint already exists for a state with MORE progress than the
+        current one, it is restored first — crash/preemption recovery for
+        long builds (the reference has no equivalent; SURVEY.md §5).
+        """
         if self.reached_numeric_limit or self.consts.V.size == 0 or itrs <= 0:
             return
-        self.state = build(self.consts, self.state, itrs, config.TOL, method=self.method)
+        if checkpoint_path is None:
+            self.state = build(self.consts, self.state, itrs, config.TOL,
+                               method=self.method)
+            return
+        import os
+        from ..utils import checkpoint as ckpt
+        # the target is relative to the CURRENT state; a checkpoint only
+        # fast-forwards progress toward it (never extends the build)
+        target = int(self.state.itr) + itrs
+        if os.path.exists(checkpoint_path):
+            saved, _ = ckpt.load(checkpoint_path, like=self.state)
+            if int(saved.itr) > int(self.state.itr):
+                self.state = saved
+        chunk = checkpoint_every or itrs
+        while int(self.state.itr) < target and not self.reached_numeric_limit:
+            step = min(chunk, target - int(self.state.itr))
+            self.state = build(self.consts, self.state, step, config.TOL,
+                               method=self.method)
+            self.save(checkpoint_path)
 
     def optimize(self):
         import numpy as np

@@ -90,3 +90,25 @@ class TestProfiling:
         assert rep["p1"]["total_s"] >= 0
         profiling.reset()
         assert profiling.report() == {}
+
+
+class TestAutoCheckpoint:
+    def test_build_with_checkpointing_resumes(self, rng, tmp_path):
+        from bayesian_coresets_tpu.ops import GIGA
+        A = rng.normal(size=(30, 120)).astype(np.float32)
+        b = A.sum(axis=1)
+        ck = str(tmp_path / "auto.npz")
+
+        ref = GIGA(A, b)
+        ref.build(40)
+
+        a = GIGA(A, b)
+        a.build(40, checkpoint_path=ck, checkpoint_every=10)
+        np.testing.assert_allclose(a.weights(), ref.weights(), rtol=1e-5, atol=1e-6)
+
+        # simulate a crash after 40 iters: a fresh instance asked for the same
+        # build restores from the checkpoint instead of redoing work
+        fresh = GIGA(A, b)
+        fresh.build(40, checkpoint_path=ck, checkpoint_every=10)
+        np.testing.assert_allclose(fresh.weights(), ref.weights(), rtol=1e-5, atol=1e-6)
+        assert int(fresh.state.itr) == 40
