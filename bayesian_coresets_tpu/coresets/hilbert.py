@@ -16,11 +16,9 @@ TPU-native departures:
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..ops.snnls import GIGA
-from ..utils import config
 from .coreset import Coreset
 from .projector import Projector
 

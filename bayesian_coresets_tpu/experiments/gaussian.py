@@ -22,7 +22,7 @@ from .. import coresets as bc
 from ..models import gaussian
 from ..utils import prng, set_verbosity
 from . import results
-from .cli import coreset_size_grid, make_parser, plot_command, step_sched
+from .cli import coreset_size_grid, make_parser, step_sched
 
 
 def run(arguments):

@@ -40,7 +40,6 @@ def _load_xy(arguments, rng):
 
 
 def run(arguments):
-    import jax
     import jax.numpy as jnp
 
     if results.check_exists(arguments):

@@ -9,7 +9,6 @@ independent of device/host count.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def fold_seed(trial: int, *tags: int) -> jax.Array:
