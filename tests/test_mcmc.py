@@ -160,3 +160,21 @@ class TestPooledAdaptation:
         assert (np.asarray(res.inv_mass_diag) ==
                 np.asarray(res.inv_mass_diag)[0]).all()
         assert (np.asarray(res.accept_prob) > 0.5).all()
+
+
+class TestRunWrapper:
+    def test_reference_conventions(self):
+        from bayesian_coresets_tpu import mcmc as M
+        z = logistic.gen_synthetic(jax.random.key(0), 50, 2, theta_scale=1.0)
+        samples, t, res = M.run(logistic, z, jnp.ones(50), 100, jax.random.key(1),
+                                num_chains=2)
+        assert samples.shape == (200, 2)   # chains * n_samples, d
+        assert t > 0
+        assert np.isfinite(np.asarray(samples)).all()
+
+    def test_poisson_theta_dim(self):
+        from bayesian_coresets_tpu import mcmc as M
+        z = poisson.gen_synthetic(jax.random.key(2), 60)
+        samples, t, res = M.run(poisson, z, jnp.ones(60), 50, jax.random.key(3),
+                                d=2)
+        assert samples.shape == (50, 2)

@@ -189,3 +189,22 @@ class TestLaplace:
         np.testing.assert_allclose(s.mean(0), _as_np(res.mu), atol=0.02)
         Sig = _as_np(res.USig) @ _as_np(res.USig).T
         np.testing.assert_allclose(np.cov(s, rowvar=False), Sig, atol=0.02)
+
+
+class TestLaplaceDiag:
+    def test_diag_mode(self, rng):
+        d, n = 3, 300
+        z = logistic.gen_synthetic(jax.random.key(5), n, d, theta_scale=1.0)
+        full = laplace_approx(z, jnp.ones(n), jnp.zeros(d),
+                              grad_fn=logistic.grad_th_log_joint,
+                              hess_fn=logistic.hess_th_log_joint)
+        diag = laplace_approx(z, jnp.ones(n), jnp.zeros(d),
+                              grad_fn=logistic.grad_th_log_joint,
+                              hess_fn=logistic.diag_hess_th_log_joint, diag=True)
+        # same mode; diagonal covariance approximates the diagonal of the full
+        np.testing.assert_allclose(_as_np(diag.mu), _as_np(full.mu), atol=1e-3)
+        full_var = np.diag(_as_np(full.USig) @ _as_np(full.USig).T)
+        diag_var = _as_np(diag.USig) ** 2
+        np.testing.assert_allclose(diag_var, full_var, rtol=0.5)
+        s = sample_laplace(jax.random.key(0), diag, 20000, diag=True)
+        np.testing.assert_allclose(np.asarray(s).mean(0), _as_np(diag.mu), atol=0.02)
