@@ -85,10 +85,24 @@ def weighted_post(th0, Sig0inv, Siginv, x, w) -> WeightedPost:
 
 
 def sample_weighted_post(key, th0, Sig0inv, Siginv, x, w, n_samples: int) -> jax.Array:
-    """Draw n_samples thetas from the closed-form weighted posterior."""
-    post = weighted_post(th0, Sig0inv, Siginv, x, w)
-    z = jax.random.normal(key, (n_samples, th0.shape[0]), dtype=post.USig.dtype)
-    return post.mu + z @ post.USig.T
+    """Draw n_samples thetas from the closed-form weighted posterior.
+
+    Avoids materializing the explicit covariance factor: with
+    Prec = L L^T, the mean solves via cho_solve and samples are
+    mu + L^{-T} eps (cov = L^{-T} L^{-1} = Prec^{-1}) — one Cholesky and
+    two triangular solves instead of a dense triangular inverse.  This is
+    the hot path of SparseVI's inner loop (a fresh posterior refit on every
+    Adam step, reference sparsevi.py:70-74).
+    """
+    d = th0.shape[0]
+    wsum = jnp.sum(w)
+    prec = Sig0inv + wsum * Siginv
+    L = jnp.linalg.cholesky(prec)
+    wx = jnp.sum(w[:, None] * jnp.atleast_2d(x), axis=0) if w.shape[0] > 0 else jnp.zeros(d, prec.dtype)
+    rhs = Sig0inv @ th0 + Siginv @ wx
+    mu = solve_triangular(L.T, solve_triangular(L, rhs, lower=True), lower=False)
+    eps = jax.random.normal(key, (n_samples, d), dtype=prec.dtype)
+    return mu + solve_triangular(L.T, eps.T, lower=False).T
 
 
 def gen_synthetic(key, n: int, d: int, dtype=jnp.float32):

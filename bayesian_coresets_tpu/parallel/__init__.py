@@ -6,6 +6,7 @@ MCMC; collectives are inserted by XLA from sharding annotations.
 """
 
 from .coreset import build_sharded, shard_consts, shard_state
+from .distributed import initialize, local_data_shard
 from .mcmc import run_nuts_sharded
 from .mesh import CHAIN_AXIS, DATA_AXIS, PROJ_AXIS, data_sharding, make_mesh, replicated
 
@@ -20,4 +21,6 @@ __all__ = [
     "shard_consts",
     "shard_state",
     "run_nuts_sharded",
+    "initialize",
+    "local_data_shard",
 ]
