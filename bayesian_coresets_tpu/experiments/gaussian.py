@@ -87,9 +87,11 @@ def run(arguments):
             return bc.SparseVICoreset(
                 x, bc.BlackBoxProjector(sampler_bb, S, loglik, gradll),
                 opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed)
+        sd = {"f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8}[arguments.select_dtype]
         if name == "GIGA-OPT":
             return bc.HilbertCoreset(
-                x, bc.BlackBoxProjector(sampler_optimal, S, loglik, gradll), seed=seed)
+                x, bc.BlackBoxProjector(sampler_optimal, S, loglik, gradll), seed=seed,
+                select_dtype=sd)
         if name == "GIGA-OPT-EXACT":
             prj = bc.FamilyProjector(exact_family)
             prj.update(jnp.ones(N), x)
@@ -118,8 +120,13 @@ def run(arguments):
     for m in range(Ms.shape[0]):
         print(f"M = {Ms[m]}: coreset construction, {arguments.alg} {arguments.trial}")
         t0 = time.perf_counter()
-        itrs = int(Ms[m] if m == 0 else Ms[m] - Ms[m - 1])
-        alg.build(itrs)
+        if arguments.alg == "BPSVI":
+            # pseudocoreset build() takes the SIZE and re-initializes
+            # (reference bpsvi.py:15-22), so each grid point is a fresh build
+            alg.build(int(Ms[m]))
+        else:
+            itrs = int(Ms[m] if m == 0 else Ms[m] - Ms[m - 1])
+            alg.build(itrs)
         t_build += time.perf_counter() - t0
         wts, pts, idcs = alg.get()
         w.append(wts)
@@ -174,6 +181,8 @@ def main(argv=None):
     parser.add_argument("--coreset_size_spacing", choices=["log", "linear"], default="log")
     parser.add_argument("--opt_itrs", type=int, default=100)
     parser.add_argument("--step_sched", type=str, default="inv")
+    parser.add_argument("--select_dtype", choices=["f32", "bf16", "int8"], default="f32",
+                        help="reduced-precision selection copy for Hilbert solvers")
     arguments = parser.parse_args(argv)
     if not hasattr(arguments, "func"):
         parser.error("specify a subcommand: run | plot")

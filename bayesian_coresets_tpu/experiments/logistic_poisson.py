@@ -117,12 +117,15 @@ def run(arguments):
                 Z, bc.BlackBoxProjector(sampler_bb, S, model.log_likelihood,
                                         model.grad_z_log_likelihood),
                 opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed)
+        sd = {"f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8}[arguments.select_dtype]
         if name == "GIGA-OPT":
             return bc.HilbertCoreset(
-                Z, bc.BlackBoxProjector(sampler_opt, S, model.log_likelihood), seed=seed)
+                Z, bc.BlackBoxProjector(sampler_opt, S, model.log_likelihood), seed=seed,
+                select_dtype=sd)
         if name == "GIGA-REAL":
             return bc.HilbertCoreset(
-                Z, bc.BlackBoxProjector(sampler_real, S, model.log_likelihood), seed=seed)
+                Z, bc.BlackBoxProjector(sampler_real, S, model.log_likelihood), seed=seed,
+                select_dtype=sd)
         if name == "US":
             return bc.UniformSamplingCoreset(Z, seed=seed)
         if name == "BPSVI":
@@ -154,8 +157,11 @@ def run(arguments):
         print(f"M = {Ms[m]}: coreset construction, {arguments.alg} "
               f"{arguments.dataset} {arguments.trial}")
         t0 = time.perf_counter()
-        itrs = int(Ms[m] if m == 0 else Ms[m] - Ms[m - 1])
-        alg.build(itrs)
+        if arguments.alg == "BPSVI":
+            alg.build(int(Ms[m]))       # size semantics (reference bpsvi.py:15-22)
+        else:
+            itrs = int(Ms[m] if m == 0 else Ms[m] - Ms[m - 1])
+            alg.build(itrs)
         t_alg += time.perf_counter() - t0
         wts, pts, idcs = alg.get()
 
@@ -214,6 +220,8 @@ def main(argv=None):
     parser.add_argument("--coreset_size_spacing", choices=["log", "linear"], default="log")
     parser.add_argument("--opt_itrs", type=int, default=100)
     parser.add_argument("--step_sched", type=str, default="inv")
+    parser.add_argument("--select_dtype", choices=["f32", "bf16", "int8"], default="f32",
+                        help="reduced-precision selection copy for Hilbert solvers")
     arguments = parser.parse_args(argv)
     if not hasattr(arguments, "func"):
         parser.error("specify a subcommand: run | plot")
