@@ -144,6 +144,19 @@ def svi_optimize(data, wts, idcs, size, key, *, family, n_sub_opt,
     return wts, key
 
 
+@partial(jax.jit, static_argnames=("family", "n_sub"))
+def svi_error(data, wts, idcs, size, key, *, family, n_sub):
+    """Monte-Carlo estimate of the Hilbert residual norm
+    ||sum_i ell_i - sum_m w_m ell_m|| / sqrt(S) under the current coreset
+    posterior — the quantity SparseVI's selection/optimization drives to
+    zero.  (The reference's error() is an unimplemented TODO returning 0,
+    sparsevi.py:78; this estimator is the natural computable extension.)"""
+    vecs, scale, _, corevecs, _, mask = _projections(
+        data, family, key, wts, idcs, size, n_sub)
+    resid = scale * jnp.sum(vecs, axis=0) - jnp.where(mask, wts, 0.0) @ corevecs
+    return jnp.sqrt(jnp.sum(resid * resid) / vecs.shape[1])
+
+
 class SparseVICoreset(Coreset):
     """Stateful facade with the reference's API (sparsevi.py:7-14)."""
 
@@ -222,5 +235,24 @@ class SparseVICoreset(Coreset):
             opt_itrs=self.opt_itrs, step_sched=self.step_sched)
         self._sync()
 
+    def optimize(self):
+        # the base-class rollback compares error() before/after; with the
+        # reference's error()==0 that check never fires (coreset.py:47-64),
+        # and our Monte-Carlo error estimate must not trigger spurious
+        # rollbacks from sampling noise — so optimize runs unchecked here,
+        # matching the reference's effective behavior.
+        self._optimize()
+
     def error(self) -> float:
-        return 0.0  # KL estimate not implemented in the reference either (sparsevi.py:78)
+        """MC estimate of the Hilbert residual norm (see svi_error).
+
+        The reference returns 0.0 here (unimplemented TODO, sparsevi.py:78);
+        this estimator is strictly more informative while remaining cheap
+        (one posterior refit + projection).  Returns 0.0 for an empty
+        coreset capacity to preserve the base-class optimize() contract.
+        """
+        if self._cap == 0:
+            return 0.0
+        self._key, k = jax.random.split(self._key)
+        return float(svi_error(self.data, self._wts, self._idcs, self._size, k,
+                               family=self.family, n_sub=self.n_subsample_opt))

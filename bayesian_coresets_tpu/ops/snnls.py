@@ -532,11 +532,33 @@ class SparseNNLS:
                                method=self.method)
             self.save(checkpoint_path)
 
-    def optimize(self):
+    def optimize(self, solver: str = "fista"):
+        """Re-solve the weights on the active set (snnls/snnls.py:81-97).
+
+        solver="fista": on-chip accelerated projected gradient (default).
+        solver="exact": host-side native C++ Lawson-Hanson (exact active-set
+        solution, like the reference's scipy nnls call), with the same
+        cost-increase rollback + numeric-limit latch.
+        """
         import numpy as np
         w = np.asarray(self.state.w)
         act = np.flatnonzero(w > 0)
         if act.size == 0:
+            return
+        if solver == "exact":
+            from .. import native
+            V = np.asarray(self.consts.V, np.float64)
+            b = np.asarray(self.consts.b, np.float64)
+            prev_err = self.error()
+            x, _ = native.nnls(V[act].T, b)
+            w_new = np.zeros_like(w)
+            w_new[act] = x.astype(w.dtype)
+            cand = self.state._replace(w=jnp.asarray(w_new))
+            new_err = float(error(self.consts, cand.w))
+            if new_err > prev_err * (1.0 + config.TOL):
+                self.state = self.state._replace(done=jnp.array(True))
+            else:
+                self.state = cand
             return
         pad = int(2 ** int(np.ceil(np.log2(max(act.size, 8)))))
         idcs = np.zeros(pad, dtype=np.int32)

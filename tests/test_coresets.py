@@ -199,3 +199,19 @@ class TestExactFamilies:
         lls = np.asarray(center_lls(gaussian.log_likelihood(x, samples, I, 0.0)))
         mc = lls @ lls.T / S
         np.testing.assert_allclose(exact, mc, rtol=0.05, atol=0.05 * np.abs(mc).max())
+
+
+class TestSVIErrorEstimate:
+    def test_error_decreases_with_size(self, gauss_setup):
+        g = gauss_setup
+        svi = bct.SparseVICoreset(g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"]),
+                                  opt_itrs=20)
+        assert svi.error() == 0.0     # empty coreset
+        svi.build(3)
+        e3 = svi.error()
+        svi.build(12)
+        e15 = svi.error()
+        assert np.isfinite(e3) and np.isfinite(e15)
+        assert e15 < e3               # residual shrinks as the coreset grows
+        svi.optimize()                # must not latch on MC noise
+        assert not svi.reached_numeric_limit

@@ -214,3 +214,20 @@ def test_int8_with_valid_mask(rng):
     alg = GIGA(A, b, valid=jnp.asarray(valid), select_dtype=jnp.int8)
     alg.build(80)
     assert (alg.weights()[50:] == 0).all()
+
+
+def test_optimize_exact_native(rng):
+    from bayesian_coresets_tpu import native
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    A, b = _problem(rng, S=30, n=150)
+    alg = GIGA(A, b)
+    alg.build(40)
+    e0 = alg.error()
+    alg.optimize(solver="exact")
+    assert alg.error() <= e0 * (1 + 1e-4)
+    # exact solve should match/beat the on-chip FISTA result
+    alg2 = GIGA(A, b)
+    alg2.build(40)
+    alg2.optimize()
+    assert alg.error() <= alg2.error() * (1 + 1e-3)
