@@ -61,3 +61,15 @@ def test_graft_entry_compiles(cpu_devices):
 
 def test_graft_dryrun_multichip(cpu_devices):
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_pooled_adaptation(cpu_devices):
+    from bayesian_coresets_tpu.parallel import make_mesh, run_nuts_sharded
+    mesh = make_mesh({"chains": 8})
+    logp = lambda th: -0.5 * jnp.sum(th**2)
+    res = run_nuts_sharded(logp, jnp.zeros((8, 3)), jax.random.key(0), mesh,
+                           num_warmup=100, num_samples=200,
+                           pooled_adaptation=True)
+    s = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(s.std(0), np.ones(3), atol=0.12)
+    assert np.unique(np.asarray(res.step_size)).size == 1
