@@ -62,6 +62,42 @@ def plot_coreset_pts(coreset_data_path: str, out_prefix: str = "coreset_pts",
     return out
 
 
+def plot_linreg_surface(basis_locs, basis_scales, theta, pts=None, wts=None,
+                        out_path: str = "linreg_surface.png", grid_n: int = 120,
+                        extent=(-2.5, 2.5)):
+    """Predicted-response contour map with coreset points overlaid.
+
+    Covers the reference's housing-price contour plots
+    (examples/linear_regression/plot_coreset_pts.py:53-118, which used
+    skimage): evaluate the RBF regression surface mean on a lat/lon grid
+    with matplotlib contours; scatter coreset points sized by weight.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    g = np.linspace(extent[0], extent[1], grid_n)
+    xx, yy = np.meshgrid(g, g)
+    locs = np.stack([xx.ravel(), yy.ravel()], axis=1)
+    feats = np.exp(-((locs[:, None, :] - basis_locs[None, :, :]) ** 2).sum(-1)
+                   / (2.0 * np.asarray(basis_scales)[None, :] ** 2))
+    surface = (feats @ np.asarray(theta)).reshape(grid_n, grid_n)
+
+    fig, ax = plt.subplots(figsize=(7, 6))
+    cs = ax.contourf(xx, yy, surface, levels=30, cmap="viridis")
+    fig.colorbar(cs, ax=ax, label="predicted response")
+    if pts is not None and len(pts) > 0:
+        pts = np.atleast_2d(pts)
+        sizes = 10 + 60 * np.asarray(wts) / max(np.max(wts), 1e-9) if wts is not None else 20
+        ax.scatter(pts[:, 0], pts[:, 1], s=sizes, c="#D55E00",
+                   edgecolors="white", linewidths=0.5, label="coreset")
+        ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     path = argv[0] if argv else "results/coreset_data.pk"
