@@ -314,8 +314,13 @@ def _omp_step(consts: SNNLSConsts, state: SNNLSState, tol, nnls_iters: int = 256
     idcs = jnp.where(already, state.idcs, state.idcs.at[slot].set(f))
     size = jnp.where(already, state.size, jnp.minimum(state.size + 1, state.idcs.shape[0]))
 
-    # full NNLS on the active set (orthopursuit.py:37-41), small gathered system
-    w_act = nnls_active_set(consts.V, consts.b, idcs, size, num_iters=nnls_iters)
+    # full NNLS on the active set (orthopursuit.py:37-41), small gathered
+    # system, warm-started from the current weights (fewer FISTA iterations
+    # to re-converge after each single-atom change)
+    mask0 = jnp.arange(idcs.shape[0]) < size
+    x0 = jnp.where(mask0, state.w[jnp.where(mask0, idcs, 0)], 0.0)
+    w_act = nnls_active_set(consts.V, consts.b, idcs, size, num_iters=nnls_iters,
+                            x0=x0)
     w = jnp.zeros_like(state.w).at[idcs].add(
         jnp.where(jnp.arange(idcs.shape[0]) < size, w_act, 0.0))
     xw = jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
