@@ -33,11 +33,17 @@ def _split(z):
 
 
 def log_likelihood(z: jax.Array, th: jax.Array, sigsq) -> jax.Array:
-    """(n, S) Gaussian regression log-likelihood (model_linreg.py:4-11)."""
+    """(n, S) Gaussian regression log-likelihood (model_linreg.py:4-11).
+
+    The residual is computed as (y - x.th)^2 rather than the reference's
+    expanded y^2 - 2*pred*y + pred^2 — identical in exact arithmetic, but
+    the expanded form cancels catastrophically in f32 when the posterior is
+    concentrated (the centered projections underflow to zero).
+    """
     x, y = _split(z)
     th = jnp.atleast_2d(th)
     pred = jnp.dot(x, th.T, preferred_element_type=jnp.float32)      # (n, S)
-    resid_sq = y[:, None] ** 2 - 2.0 * pred * y[:, None] + pred**2
+    resid_sq = (y[:, None] - pred) ** 2
     return -0.5 * jnp.log(2.0 * jnp.pi * sigsq) - resid_sq / (2.0 * sigsq)
 
 
