@@ -68,23 +68,38 @@ def weighted_post(th0, Sig0inv, sigsq, z, w) -> WeightedPost:
 
     Precision = Sig0inv + X^T diag(w) X / sigsq;
     mean solves Prec mu = Sig0inv th0 + X^T (w*y) / sigsq.
+
+    Computed via QR of the stacked weighted design [sqrt(w)X/sigma; L0^T]
+    rather than Cholesky of the normal equations: the RBF design matrices of
+    the linear_regression experiment have condition numbers far beyond f32's
+    reach when squared (the reference gets away with the normal equations
+    only because it runs in f64).
     """
     x, y = _split(z)
     d = th0.shape[0]
-    xw = w[:, None] * x
-    prec = Sig0inv + jnp.dot(xw.T, x, preferred_element_type=jnp.float32) / sigsq
-    LSigInv = jnp.linalg.cholesky(prec)
-    eye = jnp.eye(d, dtype=LSigInv.dtype)
-    USig = solve_triangular(LSigInv, eye, lower=True).T
-    rhs = Sig0inv @ th0 + jnp.sum(w[:, None] * y[:, None] * x, axis=0) / sigsq
-    mu = USig @ (USig.T @ rhs)
+    sw = jnp.sqrt(jnp.maximum(w, 0.0))
+    L0 = jnp.linalg.cholesky(Sig0inv)                 # Sig0inv = L0 L0^T
+    srt = jnp.sqrt(sigsq)
+    B = jnp.concatenate([sw[:, None] * x / srt, L0.T], axis=0)
+    c = jnp.concatenate([sw * y / srt, L0.T @ th0], axis=0)
+    Q, R = jnp.linalg.qr(B, mode="reduced")           # prec = R^T R
+    # sign-normalize so R has positive diagonal (unique upper-tri factor)
+    s = jnp.sign(jnp.where(jnp.diag(R) == 0, 1.0, jnp.diag(R)))
+    R = s[:, None] * R
+    LSigInv = R.T                                     # lower; prec = L L^T
+    eye = jnp.eye(d, dtype=R.dtype)
+    USig = solve_triangular(R, eye, lower=False)      # Sig = USig USig^T
+    # least-squares mean: mu = R^{-1} Q^T c (never forms B^T B or B^T c)
+    mu = solve_triangular(R, s * (Q.T @ c), lower=False)
     return WeightedPost(mu, USig, LSigInv)
 
 
 def sample_weighted_post(key, th0, Sig0inv, sigsq, z, w, n_samples: int) -> jax.Array:
+    """Samples mu + R^{-1} eps (cov = R^{-1} R^{-T} = Prec^{-1})."""
     post = weighted_post(th0, Sig0inv, sigsq, z, w)
-    zs = jax.random.normal(key, (n_samples, th0.shape[0]), dtype=post.USig.dtype)
-    return post.mu + zs @ post.USig.T
+    eps = jax.random.normal(key, (n_samples, th0.shape[0]), dtype=post.USig.dtype)
+    R = post.LSigInv.T
+    return post.mu + solve_triangular(R, eps.T, lower=False).T
 
 
 def rbf_features(x: jax.Array, centers: jax.Array, scales: jax.Array) -> jax.Array:
