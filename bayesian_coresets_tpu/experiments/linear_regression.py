@@ -179,10 +179,12 @@ def run(arguments):
         wp = linreg.weighted_post(mu0_j, Sig0inv_j, sigsq, pts_m, wts_m)
         Sigw = np.asarray(wp.USig @ wp.USig.T)
         muw = np.asarray(wp.mu)
-        rklw[m] = float(linreg.kl_divergence(jnp.asarray(muw), jnp.asarray(Sigw),
-                                             jnp.asarray(mup), jnp.asarray(SigpInv)))
-        fklw[m] = float(linreg.kl_divergence(jnp.asarray(mup), jnp.asarray(Sigp),
-                                             wp.mu, wp.LSigInv @ wp.LSigInv.T))
+        # f64 host metrics: the trace/logdet terms cancel far below f32
+        # resolution on these ill-conditioned designs (gaussian.kl_divergence_np)
+        from ..models.gaussian import kl_divergence_np
+        rklw[m] = float(kl_divergence_np(muw, Sigw, mup, SigpInv))
+        fklw[m] = float(kl_divergence_np(mup, Sigp, muw,
+                                         np.asarray(wp.LSigInv @ wp.LSigInv.T)))
         mu_errs[m] = np.linalg.norm(mup - muw) / np.linalg.norm(mup)
         Sig_errs[m] = np.linalg.norm(Sigp - Sigw) / np.linalg.norm(Sigp)
 

@@ -57,6 +57,28 @@ def kl_divergence(mu0: jax.Array, Sig0: jax.Array, mu1: jax.Array, Sig1inv: jax.
     return 0.5 * (t1 + t2 + t3 - d)
 
 
+def kl_divergence_np(mu0, Sig0, mu1, Sig1inv):
+    """Float64 NumPy KL for experiment metrics.
+
+    On ill-conditioned posteriors (e.g. the RBF linear-regression designs)
+    the trace/logdet terms cancel to a value many orders of magnitude below
+    their individual sizes — f32 slogdet noise can even drive the result
+    negative — so drivers compute quality metrics on the host in f64.
+    """
+    import numpy as np
+
+    mu0 = np.asarray(mu0, np.float64)
+    Sig0 = np.asarray(Sig0, np.float64)
+    mu1 = np.asarray(mu1, np.float64)
+    Sig1inv = np.asarray(Sig1inv, np.float64)
+    d = mu0.shape[0]
+    t1 = np.trace(Sig1inv @ Sig0)
+    dmu = mu1 - mu0
+    t2 = dmu @ (Sig1inv @ dmu)
+    t3 = -np.linalg.slogdet(Sig1inv)[1] - np.linalg.slogdet(Sig0)[1]
+    return 0.5 * (t1 + t2 + t3 - d)
+
+
 class WeightedPost(NamedTuple):
     mu: jax.Array       # posterior mean (d,)
     USig: jax.Array     # Sig = USig @ USig.T, upper triangular
