@@ -208,3 +208,18 @@ class TestLaplaceDiag:
         np.testing.assert_allclose(diag_var, full_var, rtol=0.5)
         s = sample_laplace(jax.random.key(0), diag, 20000, diag=True)
         np.testing.assert_allclose(np.asarray(s).mean(0), _as_np(diag.mu), atol=0.02)
+
+
+def test_kl_divergence_np_f64_robustness(rng):
+    # f32 slogdet cancellation must not produce negative KLs; the f64 host
+    # metric stays nonnegative on ill-conditioned near-identical Gaussians
+    from bayesian_coresets_tpu.models.gaussian import kl_divergence_np
+    d = 50
+    Q = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    evals = np.logspace(-6, 4, d)
+    Sig = (Q * evals) @ Q.T
+    mu = rng.normal(size=d)
+    kl_same = kl_divergence_np(mu, Sig, mu, np.linalg.inv(Sig))
+    assert abs(kl_same) < 1e-4
+    Sig2 = Sig * 1.01
+    assert kl_divergence_np(mu, Sig, mu, np.linalg.inv(Sig2)) >= 0
