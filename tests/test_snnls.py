@@ -231,3 +231,14 @@ def test_optimize_exact_native(rng):
     alg2.build(40)
     alg2.optimize()
     assert alg.error() <= alg2.error() * (1 + 1e-3)
+
+
+def test_sampling_solver_with_valid_mask(rng):
+    A, b = _problem(rng, S=15, n=80)
+    valid = np.ones(80, bool)
+    valid[40:] = False
+    for cls in (ImportanceSampling, UniformSampling):
+        alg = cls(A, b, valid=jnp.asarray(valid))
+        alg.build(300)
+        assert (alg.weights()[40:] == 0).all()
+        assert alg.size() > 0

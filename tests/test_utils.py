@@ -112,3 +112,24 @@ class TestAutoCheckpoint:
         fresh.build(40, checkpoint_path=ck, checkpoint_every=10)
         np.testing.assert_allclose(fresh.weights(), ref.weights(), rtol=1e-5, atol=1e-6)
         assert int(fresh.state.itr) == 40
+
+
+class TestHilbertCheckpoint:
+    def test_solver_checkpoint_through_hilbert(self, rng, tmp_path):
+        import jax, jax.numpy as jnp
+        import bayesian_coresets_tpu as bct
+        from bayesian_coresets_tpu.models import gaussian
+        d, N, S = 5, 120, 40
+        x = gaussian.gen_synthetic(jax.random.key(0), N, d)
+        loglik = lambda pts, th: gaussian.log_likelihood(pts, th, jnp.eye(d), 0.0)
+        sampler = lambda k, n, w, p: gaussian.sample_weighted_post(
+            k, jnp.zeros(d), jnp.eye(d), jnp.eye(d), x, jnp.ones(N), n)
+        hc = bct.HilbertCoreset(x, bct.BlackBoxProjector(sampler, S, loglik))
+        hc.build(10)
+        ck = str(tmp_path / "h.npz")
+        hc.snnls.save(ck)
+        hc2 = bct.HilbertCoreset(x, bct.BlackBoxProjector(sampler, S, loglik))
+        hc2.snnls.restore(ck)
+        hc2._sync()
+        np.testing.assert_array_equal(hc2.idcs, hc.idcs)
+        np.testing.assert_allclose(hc2.wts, hc.wts, rtol=1e-6)
