@@ -28,13 +28,19 @@ def gaussian_tangent_family(mu0, Sig0inv, Siginv, LSigInv) -> TangentFamily:
 
     ``LSigInv`` is the lower Cholesky factor of the likelihood precision
     (Siginv = LSigInv LSigInv^T).  Features have dimension d+1.
+
+    The refit context uses the one-time joint diagonalization
+    (:func:`models.gaussian.posterior_basis`), so SparseVI's per-Adam-step
+    ``make_ctx`` costs O(d^2) matmuls with no Cholesky on the critical path.
+    The returned covariance factor is non-triangular but enters only through
+    its Gram (Psi and nu @ PsiL below), which is factor-invariant.
     """
     mu0 = jnp.asarray(mu0)
     d = mu0.shape[0]
+    basis = jax.jit(gaussian.posterior_basis)(mu0, Sig0inv, Siginv)
 
     def make_ctx(key, wts, pts):
-        post = gaussian.weighted_post(mu0, Sig0inv, Siginv, pts, wts)
-        return (post.mu, post.USig)
+        return gaussian.weighted_post_basis(basis, pts, wts)
 
     def project(ctx, pts):
         muw, USigw = ctx

@@ -69,11 +69,15 @@ def run(arguments):
         return gaussian.sample_weighted_post(k, mu0, Sig0inv, Siginv, xhat,
                                              jnp.ones(xhat.shape[0]), n)
 
+    # SparseVI/BPSVI call this on every Adam step; the precomputed joint
+    # diagonalization keeps each refit factorization-free (O(d^2) matmuls).
+    post_basis = jax.jit(gaussian.posterior_basis)(mu0, Sig0inv, Siginv)
+
     def sampler_bb(k, n, wts, pts):
         if pts.size == 0:
             wts = jnp.zeros(1)
             pts = jnp.zeros((1, d))
-        return gaussian.sample_weighted_post(k, mu0, Sig0inv, Siginv, pts, wts, n)
+        return gaussian.sample_weighted_post_basis(k, post_basis, pts, wts, n)
 
     exact_family = bc.gaussian_tangent_family(mu0, Sig0inv, Siginv, LSigInv)
     sched = step_sched(arguments.step_sched)

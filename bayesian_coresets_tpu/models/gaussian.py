@@ -127,6 +127,75 @@ def sample_weighted_post(key, th0, Sig0inv, Siginv, x, w, n_samples: int) -> jax
     return mu + solve_triangular(L.T, eps.T, lower=False).T
 
 
+class PosteriorBasis(NamedTuple):
+    """Joint diagonalization of (Sig0inv, Siginv) for O(d^2) posterior refits.
+
+    The weighted posterior precision is the ONE-PARAMETER family
+    ``prec(s) = Sig0inv + s * Siginv`` with ``s = sum_i w_i``
+    (model_gaussian.py:23-30).  With ``L0 = chol(Sig0inv)``,
+    ``A = L0^{-1} Siginv L0^{-T} = V diag(lam) V^T`` computed ONCE,
+    ``prec(s) = U (I + s*lam) U^T`` for the fixed ``U = L0 V`` — so every
+    refit (SparseVI/BPSVI run one per Adam step, reference sparsevi.py:70-74)
+    becomes diagonal scaling + matmuls with NO per-step factorization.
+    This removes the latency-bound d x d Cholesky from the inner loop and
+    leaves only MXU-friendly work.
+    """
+
+    Uinv: jax.Array    # (d, d) = V^T L0^{-1};  U^{-1}
+    UinvT: jax.Array   # (d, d) = Uinv.T;       U^{-T}
+    lam: jax.Array     # (d,) eigenvalues of L0^{-1} Siginv L0^{-T}
+    r0: jax.Array      # (d,) = Sig0inv @ th0 (prior part of the rhs)
+    Siginv: jax.Array  # (d, d) likelihood precision (for the data rhs)
+
+
+def posterior_basis(th0, Sig0inv, Siginv) -> PosteriorBasis:
+    """One-time O(d^3) setup for :func:`weighted_post_basis` /
+    :func:`sample_weighted_post_basis`."""
+    th0 = jnp.asarray(th0)
+    d = th0.shape[0]
+    L0 = jnp.linalg.cholesky(Sig0inv)
+    L0inv = solve_triangular(L0, jnp.eye(d, dtype=L0.dtype), lower=True)
+    A = L0inv @ Siginv @ L0inv.T
+    lam, V = jnp.linalg.eigh(0.5 * (A + A.T))
+    Uinv = V.T @ L0inv
+    return PosteriorBasis(Uinv, Uinv.T, lam, Sig0inv @ th0, jnp.asarray(Siginv))
+
+
+def _basis_mu_scale(basis: PosteriorBasis, x, w):
+    w = jnp.atleast_1d(w)
+    s = jnp.sum(w)
+    dinv = 1.0 / (1.0 + s * basis.lam)          # spectrum of prec(s)^{-1}
+    if w.shape[0] > 0:
+        wx = jnp.sum(w[:, None] * jnp.atleast_2d(x), axis=0)
+    else:
+        wx = jnp.zeros_like(basis.r0)
+    rhs = basis.r0 + basis.Siginv @ wx
+    mu = basis.UinvT @ (dinv * (basis.Uinv @ rhs))
+    return mu, jnp.sqrt(dinv)
+
+
+def weighted_post_basis(basis: PosteriorBasis, x, w):
+    """Fast ``weighted_post``: returns ``(mu, F)`` with ``Sig = F @ F.T``.
+
+    F is a general (non-triangular) covariance factor — equivalent to
+    WeightedPost.USig wherever only the Gram matters (tangent features,
+    sampling), which is every hot consumer.
+    """
+    mu, scale = _basis_mu_scale(basis, x, w)
+    return mu, basis.UinvT * scale[None, :]
+
+
+def sample_weighted_post_basis(key, basis: PosteriorBasis, x, w, n_samples: int) -> jax.Array:
+    """Fast ``sample_weighted_post``: no per-call factorization.
+
+    theta = mu + (eps * scale) @ Uinv  has covariance
+    U^{-T} diag(scale^2) U^{-1} = prec(s)^{-1}.
+    """
+    mu, scale = _basis_mu_scale(basis, x, w)
+    eps = jax.random.normal(key, (n_samples, mu.shape[0]), dtype=mu.dtype)
+    return mu + (eps * scale[None, :]) @ basis.Uinv
+
+
 def gen_synthetic(key, n: int, d: int, dtype=jnp.float32):
     """Synthetic dataset matching the gaussian driver (gaussian/main.py:85)."""
     th = jnp.ones(d, dtype)

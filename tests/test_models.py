@@ -67,6 +67,52 @@ class TestGaussian:
         mu2 = mu + 1.0
         assert float(gaussian.kl_divergence(mu, Sig, mu2, Sig)) > 0.1
 
+    def test_posterior_basis_matches_weighted_post(self, rng):
+        # non-diagonal, non-commuting prior/likelihood precisions
+        d, n = 6, 15
+        A0 = rng.normal(size=(d, d))
+        Sig0inv = (A0 @ A0.T / d + np.eye(d)).astype(np.float32)
+        A1 = rng.normal(size=(d, d))
+        Siginv = (A1 @ A1.T / d + 0.5 * np.eye(d)).astype(np.float32)
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        w = rng.uniform(0, 2, size=n).astype(np.float32)
+        th0 = rng.normal(size=d).astype(np.float32)
+
+        basis = gaussian.posterior_basis(th0, Sig0inv, Siginv)
+        mu_fast, F = gaussian.weighted_post_basis(basis, x, w)
+        post = gaussian.weighted_post(th0, Sig0inv, Siginv, x, w)
+        np.testing.assert_allclose(_as_np(mu_fast), _as_np(post.mu),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(_as_np(F) @ _as_np(F).T,
+                                   _as_np(post.USig) @ _as_np(post.USig).T,
+                                   rtol=1e-3, atol=1e-4)
+        # zero-weight (empty coreset) case falls back to the prior posterior
+        mu0_fast, F0 = gaussian.weighted_post_basis(
+            basis, np.zeros((0, d), np.float32), np.zeros((0,), np.float32))
+        post0 = gaussian.weighted_post(th0, Sig0inv, Siginv,
+                                       np.zeros((0, d), np.float32),
+                                       np.zeros((0,), np.float32))
+        np.testing.assert_allclose(_as_np(mu0_fast), _as_np(post0.mu),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(_as_np(F0) @ _as_np(F0).T,
+                                   _as_np(post0.USig) @ _as_np(post0.USig).T,
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_sample_weighted_post_basis_moments(self, rng):
+        d, n, S = 3, 10, 200_000
+        Sig0inv = np.eye(d, dtype=np.float32) * 0.7
+        Siginv = np.eye(d, dtype=np.float32) * 1.3
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        w = rng.uniform(0, 2, size=n).astype(np.float32)
+        th0 = rng.normal(size=d).astype(np.float32)
+        basis = gaussian.posterior_basis(th0, Sig0inv, Siginv)
+        ths = np.asarray(gaussian.sample_weighted_post_basis(
+            jax.random.key(3), basis, x, w, S))
+        post = gaussian.weighted_post(th0, Sig0inv, Siginv, x, w)
+        Sig = _as_np(post.USig) @ _as_np(post.USig).T
+        np.testing.assert_allclose(ths.mean(0), _as_np(post.mu), atol=3e-2)
+        np.testing.assert_allclose(np.cov(ths.T), Sig, atol=3e-2)
+
 
 class TestLogistic:
     def test_grads_match_autodiff(self, rng):
