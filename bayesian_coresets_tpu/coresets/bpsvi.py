@@ -68,6 +68,28 @@ def bpsvi_build(data, key, *, family: TangentFamily, sz: int,
     return xf[:sz], xf[sz:].reshape(sz, d)
 
 
+@partial(jax.jit, static_argnames=("family", "n_sub"))
+def bpsvi_error(data, wts, pts, key, *, family: TangentFamily, n_sub):
+    """Monte-Carlo estimate of the Hilbert residual norm
+    ||sum_i ell_i - sum_m w_m ell_m|| / sqrt(S) under the current
+    pseudocoreset posterior — the objective BPSVI's joint optimization
+    drives down.  (The reference's error() is an unimplemented TODO
+    returning 0, bpsvi.py:62-63; same extension as SparseVI's svi_error.)"""
+    n = data.shape[0]
+    k1, k2 = jax.random.split(key)
+    ctx = family.make_ctx(k1, wts, pts)
+    if n_sub is None:
+        vecs = family.project(ctx, data)
+        scale = 1.0
+    else:
+        sub_idcs = jax.random.randint(k2, (n_sub,), 0, n)
+        vecs = family.project(ctx, data[sub_idcs])
+        scale = n / n_sub
+    corevecs = family.project(ctx, pts)
+    resid = scale * jnp.sum(vecs, axis=0) - wts @ corevecs
+    return jnp.sqrt(jnp.sum(resid * resid) / vecs.shape[1])
+
+
 class BatchPSVICoreset(Coreset):
     """Stateful facade with the reference's API (bpsvi.py:7-13).
 
@@ -108,4 +130,16 @@ class BatchPSVICoreset(Coreset):
         pass  # joint optimization already runs inside _build (bpsvi.py:21-22)
 
     def error(self) -> float:
-        return 0.0  # as in the reference (bpsvi.py:62-63)
+        """MC estimate of the Hilbert residual norm (see bpsvi_error).
+
+        The reference returns 0.0 here (unimplemented TODO, bpsvi.py:62-63).
+        Returns 0.0 for an empty pseudocoreset to preserve the base-class
+        optimize() contract.
+        """
+        if self.wts is None or np.size(self.wts) == 0:
+            return 0.0
+        self._key, k = jax.random.split(self._key)
+        return float(bpsvi_error(
+            self.data, jnp.asarray(self.wts, self.data.dtype),
+            jnp.asarray(self.pts, self.data.dtype), k,
+            family=self.family, n_sub=self.n_subsample_opt))

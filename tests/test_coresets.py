@@ -147,6 +147,23 @@ class TestBPSVI:
             bct.BatchPSVICoreset(g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"]),
                                  opt_itrs=10)
 
+    def test_error_estimate(self, gauss_setup):
+        g = gauss_setup
+        bp = bct.BatchPSVICoreset(
+            g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"], g["gradll"]),
+            opt_itrs=60)
+        assert bp.error() == 0.0          # empty pseudocoreset
+        bp.build(10)
+        e10 = bp.error()
+        assert np.isfinite(e10) and e10 > 0.0
+        # an optimized pseudocoreset must beat an unoptimized one of the
+        # same size (fresh init, zero Adam steps)
+        bp_raw = bct.BatchPSVICoreset(
+            g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"], g["gradll"]),
+            opt_itrs=0)
+        bp_raw.build(10)
+        assert e10 < bp_raw.error()
+
 
 class TestUniform:
     def test_weights_sum(self, gauss_setup):
