@@ -10,15 +10,22 @@ TPU-native departures:
 - the subsample keeps a *static* trace shape: the reference's
   ``np.unique(np.random.randint(...))`` (hilbert.py:16) shrinks the array,
   so here duplicate and zero-vector rows are masked ``valid=False`` (the
-  solver can never select them) instead of being physically removed.
+  solver can never select them) instead of being physically removed;
+- ``stream_chunk_size`` enables beyond-f32-HBM construction: the data is
+  projected chunk by chunk, each f32 chunk is quantized ON-CHIP to the
+  int8-resident representation (normalized int8 rows + f32 row norms) and
+  only that copy is kept, so the peak footprint is N*S bytes + one chunk —
+  ~4x the dataset capacity of the default path on the same chip.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.snnls import GIGA
+from ..ops.snnls import GIGA, make_consts_quantized
 from .coreset import Coreset
 from .projector import Projector
 
@@ -26,9 +33,13 @@ from .projector import Projector
 class HilbertCoreset(Coreset):
     def __init__(self, data, ll_projector: Projector, n_subsample: int | None = None,
                  snnls=GIGA, seed: int = 0, max_active: int | None = None,
-                 select_dtype=None):
+                 select_dtype=None, stream_chunk_size: int | None = None):
         super().__init__()
         data = np.asarray(data)
+        if stream_chunk_size is not None:
+            self._init_streamed(data, ll_projector, int(stream_chunk_size),
+                                snnls, seed, max_active, n_subsample)
+            return
         if n_subsample is None:
             sub_idcs = np.arange(data.shape[0])
             vecs = np.asarray(ll_projector.project(data))
@@ -54,12 +65,76 @@ class HilbertCoreset(Coreset):
         self.sub_idcs = sub_idcs
         self.data = data
 
+    def _init_streamed(self, data, ll_projector, chunk: int, snnls_cls,
+                       seed: int, max_active, n_subsample):
+        """Chunked projection -> on-chip int8 quantization -> int8-resident
+        solver consts.  No f32 (n, S) is materialized on device or host."""
+        import jax
+
+        if n_subsample is not None:
+            raise ValueError("stream_chunk_size and n_subsample are mutually "
+                             "exclusive (subsample the data first instead)")
+        n = data.shape[0]
+        n_chunks = -(-n // chunk)
+
+        @jax.jit
+        def quantize(vecs, live):
+            rowmask = jnp.arange(vecs.shape[0]) < live
+            vecs = jnp.where(rowmask[:, None], vecs, 0.0)
+            nrm = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
+            safe = jnp.where(nrm > 0, nrm, 1.0)
+            q = jnp.clip(jnp.round(vecs / safe[:, None] * 127.0),
+                         -127, 127).astype(jnp.int8)
+            return q, nrm, jnp.sum(vecs, axis=0)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def write(buf, q, start, bacc, bsum):
+            return (jax.lax.dynamic_update_slice(buf, q, (start, 0)),
+                    bacc + bsum)
+
+        buf = None
+        b = None
+        norm_chunks = []
+        for c in range(n_chunks):
+            lo = c * chunk
+            live = min(chunk, n - lo)
+            xc = np.zeros((chunk,) + data.shape[1:], data.dtype)
+            xc[:live] = data[lo:lo + live]
+            vecs = ll_projector.project(jnp.asarray(xc))
+            if buf is None:
+                S = vecs.shape[1]
+                # allocate pre-padded (row tile multiple x lane multiple) so
+                # make_consts_quantized never has to copy the big buffer
+                rows = -(-max(n, n_chunks * chunk) // 1024) * 1024
+                Sp = -(-S // 128) * 128
+                buf = jnp.zeros((rows, Sp), jnp.int8)
+                b = jnp.zeros((S,), jnp.float32)
+            q, nrm, bsum = quantize(vecs, jnp.int32(live))
+            buf, b = write(buf, q, jnp.int32(lo), b, bsum)
+            norm_chunks.append(np.asarray(nrm)[:live])
+
+        norms = np.concatenate(norm_chunks)
+        pad = buf.shape[0] - n
+        valid = np.pad(norms > 0.0, (0, pad))
+        if not valid.any():
+            raise ValueError("all projected vectors are zero or masked")
+        sampling = snnls_cls.method if snnls_cls.method in ("importance", "uniform") else None
+        consts = make_consts_quantized(
+            buf, jnp.asarray(np.pad(norms, (0, pad), constant_values=1.0)),
+            jnp.pad(b, (0, buf.shape[1] - b.shape[0])),   # tiny (S,) -> (Sp,)
+            valid=jnp.asarray(valid), sampling=sampling)
+        self.snnls = snnls_cls.from_consts(consts, seed=seed, max_active=max_active)
+        self.sub_idcs = np.arange(n)
+        self.data = data
+
     def reset(self):
         self.snnls.reset()
         super().reset()
 
     def _sync(self):
-        w = self.snnls.weights()
+        # solver vectors may be padded beyond the true candidate count
+        # (int8-resident mode pads rows to tile multiples; pads stay at w=0)
+        w = self.snnls.weights()[: len(self.sub_idcs)]
         keep = w > 0
         self.wts = w[keep]
         self.idcs = self.sub_idcs[keep]

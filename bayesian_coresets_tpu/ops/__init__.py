@@ -5,7 +5,7 @@ TPU-native replacement for the reference's L1 layer
 SURVEY.md §1/§2.1.
 """
 
-from .nnls import nnls_active_set, nnls_gram
+from .nnls import nnls_active_set, nnls_gram, nnls_rows
 from .opt import nn_opt
 from .snnls import (
     GIGA,
@@ -19,6 +19,7 @@ from .snnls import (
     build,
     init_state,
     make_consts,
+    make_consts_quantized,
 )
 
 __all__ = [
@@ -33,7 +34,9 @@ __all__ = [
     "build",
     "init_state",
     "make_consts",
+    "make_consts_quantized",
     "nnls_active_set",
+    "nnls_rows",
     "nnls_gram",
     "nn_opt",
 ]

@@ -58,24 +58,32 @@ def nnls_gram(G: jax.Array, c: jax.Array, num_iters: int = 512,
     return x
 
 
-def nnls_active_set(V: jax.Array, b: jax.Array, idcs: jax.Array, size,
-                    num_iters: int = 512, x0: jax.Array | None = None) -> jax.Array:
-    """NNLS restricted to active columns of A = V.T.
+def nnls_rows(Aact: jax.Array, b: jax.Array, mask: jax.Array,
+              num_iters: int = 512, x0: jax.Array | None = None) -> jax.Array:
+    """NNLS on pre-gathered rows: min ||Aact^T x - b||, x >= 0.
 
-    V: (n, S) data-major projection matrix; idcs: (K,) padded active indices;
-    size: number of live entries in idcs.  Returns (K,) weights (0 at padding).
-
-    The gather V[idcs] is (K, S) — small — and the normal equations
+    Aact: (K, S) gathered (already dequantized) active rows, zeroed at
+    padding; mask: (K,) live-row mask.  The normal equations
     G = Aact Aact^T, c = Aact b reduce the solve to a (K, K) problem
     independent of n, so OMP/optimize() cost does not scale with dataset size.
     """
-    K = idcs.shape[0]
-    mask = jnp.arange(K) < size
-    safe_idcs = jnp.where(mask, idcs, 0)
-    Aact = jnp.where(mask[:, None], V[safe_idcs], 0.0)          # (K, S)
     G = jnp.dot(Aact, Aact.T, preferred_element_type=jnp.float32)
     # unit diagonal on padded rows keeps G nonsingular without affecting live rows
     G = G + jnp.diag(jnp.where(mask, 0.0, 1.0).astype(G.dtype))
     c = jnp.dot(Aact, b, preferred_element_type=jnp.float32)
     x = nnls_gram(G, c, num_iters=num_iters, x0=x0)
     return jnp.where(mask, x, 0.0)
+
+
+def nnls_active_set(V: jax.Array, b: jax.Array, idcs: jax.Array, size,
+                    num_iters: int = 512, x0: jax.Array | None = None) -> jax.Array:
+    """NNLS restricted to active columns of A = V.T.
+
+    V: (n, S) data-major projection matrix; idcs: (K,) padded active indices;
+    size: number of live entries in idcs.  Returns (K,) weights (0 at padding).
+    """
+    K = idcs.shape[0]
+    mask = jnp.arange(K) < size
+    safe_idcs = jnp.where(mask, idcs, 0)
+    Aact = jnp.where(mask[:, None], V[safe_idcs], 0.0)          # (K, S)
+    return nnls_rows(Aact, b, mask, num_iters=num_iters, x0=x0)

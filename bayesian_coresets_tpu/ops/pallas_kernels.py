@@ -14,11 +14,14 @@ Used by the GIGA select when ``use_pallas=True`` is passed to
 MEASURED (v5e, N=100k, S=500, int8 selection copy): the XLA path runs the
 select at HBM speed-of-light (~0.072s for M=500) and this kernel is ~2.5x
 slower (~0.178s) because the MXU's 128-lane minimum wastes 64x compute on
-the 2-column direction matmul.  XLA fusion is SUFFICIENT for this op at
-these shapes, so the kernel is off by default; it is kept (a) as the fused
-pattern for future shapes where the intermediate (n, 2) materialization
-matters (very large n with narrow VMEM headroom), and (b) as a tested
-example of the framework's Pallas integration path.
+the 2-column direction matmul.  RE-MEASURED at beyond-HBM scale (v5e,
+N=20M int8-resident, S=512): XLA 15.0 ms/iteration (~1.2x the 12.5 ms raw
+HBM floor) vs this kernel 228 ms/iteration — the gap grows with n, so XLA
+fusion is SUFFICIENT at every measured shape and the kernel stays off by
+default.  It is kept (a) as the fused pattern for shapes where the
+intermediate (n, 2) materialization matters, and (b) as a tested example
+of the framework's Pallas integration path (incl. the sequential-grid
+running-argmax accumulation pattern).
 """
 
 from __future__ import annotations
@@ -39,15 +42,19 @@ def _round_up(x: int, m: int) -> int:
 
 def _giga_select_kernel(v_ref, dirs_ref, nrminv_ref, bias_ref,
                         score_ref, idx_ref, *, tile_rows: int):
-    """One row-tile: fused scores + local argmax.
+    """One row-tile: fused scores + RUNNING global argmax.
 
     v_ref:      (T, Sp) selection matrix tile (f32/bf16/int8)
     dirs_ref:   (Sp, 128) direction block; col 0 = cdir_n, col 1 = xw_n,
                 remaining columns zero (lane padding)
-    nrminv_ref: (T, 1) f32 reciprocal column norms (1 for int8/pre-normalized)
-    bias_ref:   (T, 1) f32 additive mask (0 valid, -inf invalid/padding)
-    score_ref:  (1, 1) f32 out — best score in tile
-    idx_ref:    (1, 1) int32 out — row index (tile-local) of best score
+    nrminv_ref: (T,) f32 reciprocal column norms (1 for int8/pre-normalized).
+                1-D on purpose: an (n, 1) f32 operand would be laid out with
+                128x lane padding in HBM (9.5 GB at n=20M)
+    bias_ref:   (T,) f32 additive mask (0 valid, -inf invalid/padding)
+    score_ref:  (1, 1) f32 out — global best score (accumulated across the
+                sequential TPU grid; a per-tile output would need O(n/T)
+                SMEM and stops scaling at beyond-HBM row counts)
+    idx_ref:    (1, 1) int32 out — global argmax row index
     """
     i = pl.program_id(0)
     v = v_ref[:]
@@ -60,19 +67,29 @@ def _giga_select_kernel(v_ref, dirs_ref, nrminv_ref, bias_ref,
         dots = jax.lax.dot_general(
             v, dirs_ref[:].astype(v.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dots = dots * nrminv_ref[:]                      # (T, 128); cols 0,1 live
-
-    d0 = dots[:, 0]
-    d1 = dots[:, 1]
+    nr = nrminv_ref[:].reshape(tile_rows, 1)
+    bi = bias_ref[:].reshape(tile_rows, 1)
+    d0 = dots[:, 0:1] * nr                           # (T, 1)
+    d1 = dots[:, 1:2] * nr
     geo_ok = (d1 > -1.0 + 1e-14) & (1.0 - d1 * d1 > 0.0)
     denom = jnp.sqrt(jnp.clip(1.0 - d1 * d1, 1e-30, None))
-    score = jnp.where(geo_ok, d0 / denom, 0.0) + bias_ref[:, 0]
+    score = jnp.where(geo_ok, d0 / denom, 0.0) + bi  # (T, 1)
 
     best = jnp.max(score)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)[:, 0]
-    best_row = jnp.min(jnp.where(score == best, rows, tile_rows))
-    score_ref[i, 0] = best
-    idx_ref[i, 0] = best_row + i * tile_rows
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)
+    best_row = jnp.min(jnp.where(score == best, rows, tile_rows)) + i * tile_rows
+
+    @pl.when(i == 0)
+    def _init():
+        score_ref[0, 0] = best
+        idx_ref[0, 0] = best_row
+
+    @pl.when(i > 0)
+    def _accumulate():
+        prev = score_ref[0, 0]
+        better = best > prev          # strict: first max wins, like argmax
+        score_ref[0, 0] = jnp.where(better, best, prev)
+        idx_ref[0, 0] = jnp.where(better, best_row, idx_ref[0, 0])
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows",))
@@ -94,28 +111,26 @@ def giga_select_pallas(Vsel: jax.Array, dirs2: jax.Array, nrminv: jax.Array,
     dirs = jnp.zeros((Sp, 128), dirs2.dtype).at[:S, :2].set(dirs2)
 
     grid = np_rows // tile_rows
-    scores, idcs = pl.pallas_call(
+    score, idx = pl.pallas_call(
         functools.partial(_giga_select_kernel, tile_rows=tile_rows),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile_rows, Sp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Sp, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile_rows,), lambda i: (i,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile_rows,), lambda i: (i,),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid, 1), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
-    )(Vsel, dirs, nrminv[:, None].astype(jnp.float32),
-      bias[:, None].astype(jnp.float32))
+    )(Vsel, dirs, nrminv.astype(jnp.float32), bias.astype(jnp.float32))
 
-    t = jnp.argmax(scores[:, 0])
-    return idcs[t, 0], scores[t, 0]
+    return idx[0, 0], score[0, 0]

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import config
-from .nnls import nnls_active_set
+from .nnls import nnls_rows
 
 REFRESH_EVERY = 64  # exact xw = A@w recompute cadence (f32 drift control)
 _NEG_INF = -jnp.inf
@@ -59,7 +59,12 @@ class SNNLSConsts(NamedTuple):
     #                    - int8: quarter traffic; rows stored PRE-NORMALIZED
     #                      and scaled to +-127 (the /norms division folds into
     #                      the dequantization constant), MXU int8 path
-    #                    - None: aliases V (bit-exact reference behavior)
+    #                    - EMPTY (0, S): selection reads V directly (bit-exact
+    #                      reference behavior, and the int8-RESIDENT mode
+    #                      where V itself is the quantized copy).  A zero-row
+    #                      sentinel instead of aliasing V: two pytree leaves
+    #                      pointing at one buffer would double the while-loop
+    #                      carry accounting and OOM at beyond-HBM scale.
 
 
 class SNNLSState(NamedTuple):
@@ -76,25 +81,29 @@ class SNNLSState(NamedTuple):
     key: jax.Array     # PRNG key (sampling solvers)
 
 
+def _sampling_ps(norms, valid, sampling, dtype):
+    """Column-sampling probabilities for the IS/US solvers."""
+    if sampling == "importance":
+        raw = jnp.where(valid, norms, 0.0)
+        tot = jnp.sum(raw)
+        nv = jnp.sum(valid)
+        return jnp.where(tot > 0, raw / jnp.where(tot > 0, tot, 1.0),
+                         jnp.where(valid, 1.0 / jnp.maximum(nv, 1), 0.0))
+    if sampling == "uniform":
+        nv = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.where(valid, 1.0 / nv, 0.0)
+    return jnp.zeros(norms.shape[0], dtype=dtype)
+
+
 @partial(jax.jit, static_argnames=("sampling", "select_dtype"))
 def _make_consts(V, b, valid, sampling, select_dtype) -> SNNLSConsts:
     norms = jnp.sqrt(jnp.sum(V * V, axis=1))
     valid = valid & (norms > 0)
     norms = jnp.where(valid, norms, 1.0)
     bnorm = jnp.sqrt(jnp.sum(b * b))
-    if sampling == "importance":
-        raw = jnp.where(valid, norms, 0.0)
-        tot = jnp.sum(raw)
-        nv = jnp.sum(valid)
-        ps = jnp.where(tot > 0, raw / jnp.where(tot > 0, tot, 1.0),
-                       jnp.where(valid, 1.0 / jnp.maximum(nv, 1), 0.0))
-    elif sampling == "uniform":
-        nv = jnp.maximum(jnp.sum(valid), 1)
-        ps = jnp.where(valid, 1.0 / nv, 0.0)
-    else:
-        ps = jnp.zeros(V.shape[0], dtype=V.dtype)
+    ps = _sampling_ps(norms, valid, sampling, V.dtype)
     if select_dtype is None:
-        Vsel = V
+        Vsel = V[:0]
     else:
         if select_dtype == jnp.int8:
             Vn = V / norms[:, None]
@@ -125,10 +134,102 @@ def make_consts(A: jax.Array, b: jax.Array, valid: jax.Array | None = None,
     return _make_consts(V, b, jnp.asarray(valid), sampling, select_dtype)
 
 
+@partial(jax.jit, static_argnames=("sampling",))
+def _finish_quantized(norms, b, valid, sampling):
+    # the big int8 buffer stays OUT of this jit: passing it through would
+    # copy it on return (no input/output aliasing without donation), which
+    # at beyond-HBM scale is an instant OOM
+    valid = valid & (norms > 0)
+    norms = jnp.where(valid, norms, 1.0)
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    ps = _sampling_ps(norms, valid, sampling, b.dtype)
+    return norms, bnorm, valid, ps
+
+
+def make_consts_quantized(Vq: jax.Array, norms: jax.Array, b: jax.Array,
+                          valid: jax.Array | None = None,
+                          sampling: str | None = None) -> SNNLSConsts:
+    """int8-RESIDENT problem constants: beyond-f32-HBM construction.
+
+    ``Vq`` (n, S) int8: each row is the corresponding V row normalized to
+    unit length and scaled to ±127; ``norms`` (n,) f32 are the original row
+    norms.  Only the int8 copy + f32 norms live in HBM — no f32 (n, S) is
+    ever materialized, so datasets ~4x beyond the f32+int8 ceiling fit on
+    one chip (see coresets/hilbert.py streamed construction).
+
+    The same buffer serves selection (pre-normalized int8 score matmuls,
+    exactly the ``select_dtype=int8`` path) and reweighting (single rows /
+    small active-set gathers are dequantized on the fly via
+    ``row = norms[f] * Vq[f] / 127``), trading ~0.4%-per-element reweight
+    precision for the capacity.  Rows are padded to the select-kernel tile
+    multiple and S to the lane width; padded rows are invalid, padded
+    columns are zero (b is zero-padded to match, which changes no inner
+    product).
+    """
+    Vq = jnp.asarray(Vq)
+    if Vq.dtype != jnp.int8:
+        raise ValueError("make_consts_quantized requires an int8 matrix")
+    n, S = Vq.shape
+    norms = jnp.asarray(norms, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    if valid is None:
+        valid = jnp.ones(n, dtype=bool)
+    np_rows = -(-n // 1024) * 1024
+    Sp = -(-S // 128) * 128
+    if (np_rows, Sp) != (n, S):
+        # NOTE: this pad COPIES Vq — at beyond-HBM scale allocate the buffer
+        # pre-padded (zero rows/cols, valid=False) and skip this branch, as
+        # the streamed HilbertCoreset constructor does.
+        Vq = jnp.pad(Vq, ((0, np_rows - n), (0, Sp - S)))
+        norms = jnp.pad(norms, (0, np_rows - n), constant_values=1.0)
+        valid = jnp.pad(valid, (0, np_rows - n), constant_values=False)
+        b = jnp.pad(b, (0, Sp - S))
+    norms, bnorm, valid, ps = _finish_quantized(norms, b, jnp.asarray(valid), sampling)
+    return SNNLSConsts(Vq, b, norms, bnorm, valid, ps, Vq[:0])
+
+
+def _is_quantized(consts: SNNLSConsts) -> bool:
+    return consts.V.dtype == jnp.int8
+
+
+def _v_row(consts: SNNLSConsts, f) -> jax.Array:
+    """Row V[f] in f32 (dequantized in int8-resident mode)."""
+    if _is_quantized(consts):
+        return consts.V[f].astype(jnp.float32) * (consts.norms[f] * (1.0 / 127.0))
+    return consts.V[f]
+
+
+def _gather_rows(consts: SNNLSConsts, idcs, mask) -> jax.Array:
+    """Rows V[idcs] in f32, zeroed where ~mask (dequantized if int8)."""
+    rows = consts.V[idcs]
+    if _is_quantized(consts):
+        rows = rows.astype(jnp.float32) * (consts.norms[idcs] * (1.0 / 127.0))[:, None]
+    return jnp.where(mask[:, None], rows, 0.0)
+
+
+def _v_matvec(consts: SNNLSConsts, w: jax.Array, support: int = 1024) -> jax.Array:
+    """V^T @ w in f32.
+
+    In int8-resident mode the weight vector's support (w >= 0 always, so the
+    nonzeros ARE the top-k) is gathered and only those rows are dequantized:
+    O(support*S) work, never an f32 (n, S).  ``support`` must upper-bound
+    nnz(w) — the solvers' active support is capped by ``max_active`` (exact
+    for OMP/optimize; for long GIGA/FW/sampling builds choose
+    max_active >= the number of distinct atoms ever selected).
+    """
+    if not _is_quantized(consts):
+        return jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
+    k = min(int(support), w.shape[0])
+    vals, idx = jax.lax.top_k(w, k)
+    rows = consts.V[idx].astype(jnp.float32) * (consts.norms[idx] * (1.0 / 127.0))[:, None]
+    return jnp.dot(vals, rows, preferred_element_type=jnp.float32)
+
+
 def init_state(consts: SNNLSConsts, key: jax.Array | None = None,
                max_active: int = 0) -> SNNLSState:
     n, S = consts.V.shape
-    dt = consts.V.dtype
+    # weights/caches stay f32 even when V is the int8-resident copy
+    dt = consts.b.dtype if _is_quantized(consts) else consts.V.dtype
     if key is None:
         key = jax.random.key(0)
     return SNNLSState(
@@ -144,10 +245,10 @@ def init_state(consts: SNNLSConsts, key: jax.Array | None = None,
     )
 
 
-@jax.jit
-def error(consts: SNNLSConsts, w: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("support",))
+def error(consts: SNNLSConsts, w: jax.Array, support: int = 1024) -> jax.Array:
     """||A w - b||_2 (snnls/snnls.py:28-29)."""
-    xw = jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
+    xw = _v_matvec(consts, w, support=support)
     return jnp.sqrt(jnp.sum((xw - consts.b) ** 2))
 
 
@@ -165,6 +266,12 @@ def _normalize(x):
     return x / n, n
 
 
+def _vsel(consts: SNNLSConsts) -> jax.Array:
+    """The matrix used for selection: the Vsel copy, or V itself when the
+    zero-row sentinel says they coincide (f32 exact mode / int8-resident)."""
+    return consts.Vsel if consts.Vsel.shape[0] else consts.V
+
+
 def _select_dots(consts: SNNLSConsts, dirs):
     """An^T @ dirs for every candidate column, via the select-phase copy.
 
@@ -175,19 +282,48 @@ def _select_dots(consts: SNNLSConsts, dirs):
     one_d = dirs.ndim == 1
     d2 = dirs[:, None] if one_d else dirs
     n = consts.V.shape[0]
-    Sp = consts.Vsel.shape[1]
+    Vsel = _vsel(consts)
+    Sp = Vsel.shape[1]
     if Sp != d2.shape[0]:                         # padded selection copy
         d2 = jnp.pad(d2, ((0, Sp - d2.shape[0]), (0, 0)))
-    if consts.Vsel.dtype == jnp.int8:
+    if Vsel.dtype == jnp.int8:
         q = jnp.clip(jnp.round(d2 * 127.0), -127, 127).astype(jnp.int8)
-        dots = jax.lax.dot_general(consts.Vsel, q, (((1,), (0,)), ((), ())),
+        dots = jax.lax.dot_general(Vsel, q, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)
         out = dots.astype(jnp.float32)[:n] * (1.0 / (127.0 * 127.0))
     else:
-        dots = jnp.dot(consts.Vsel, d2.astype(consts.Vsel.dtype),
+        dots = jnp.dot(Vsel, d2.astype(Vsel.dtype),
                        preferred_element_type=jnp.float32)
         out = dots[:n] / consts.norms[:, None]
     return out[:, 0] if one_d else out
+
+
+def _track_support(state: SNNLSState, f):
+    """Insert f into the active-slot list if new (static-size bookkeeping).
+
+    Every solver tracks its support when slots exist (state.idcs non-empty):
+    in int8-resident mode the cached-matvec refresh gathers EXACTLY these
+    rows instead of sorting the n-element weight vector.  Slots are capped at
+    max_active; a build selecting more distinct atoms than that overwrites
+    the last slot (choose max_active accordingly).
+    """
+    K = state.idcs.shape[0]
+    if K == 0:
+        return state.idcs, state.size
+    already = jnp.any((state.idcs == f) & (jnp.arange(K) < state.size))
+    slot = jnp.minimum(state.size, K - 1)
+    idcs = jnp.where(already, state.idcs, state.idcs.at[slot].set(f))
+    size = jnp.where(already, state.size, jnp.minimum(state.size + 1, K))
+    return idcs, size
+
+
+def _support_matvec(consts: SNNLSConsts, w, idcs, size):
+    """Exact V^T w via the tracked support (w>0 entries all lie in idcs)."""
+    mask = jnp.arange(idcs.shape[0]) < size
+    safe = jnp.where(mask, idcs, 0)
+    rows = _gather_rows(consts, safe, mask)
+    return jnp.dot(jnp.where(mask, w[safe], 0.0), rows,
+                   preferred_element_type=jnp.float32)
 
 
 def _rank1_update(state: SNNLSState, consts: SNNLSConsts, f, alpha, beta):
@@ -196,7 +332,7 @@ def _rank1_update(state: SNNLSState, consts: SNNLSConsts, f, alpha, beta):
     new_wf = jnp.maximum(0.0, alpha * old_wf + beta)
     w = (alpha * state.w).at[f].set(new_wf)
     delta = new_wf - alpha * old_wf
-    xw = alpha * state.xw + delta * consts.V[f]
+    xw = alpha * state.xw + delta * _v_row(consts, f)
     return w, xw
 
 
@@ -218,15 +354,16 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol, use_pallas: bool = F
         # fused scores+argmax in one streaming pass (ops/pallas_kernels.py)
         from .pallas_kernels import giga_select_pallas
         n = consts.V.shape[0]
-        np_rows = consts.Vsel.shape[0]
-        if consts.Vsel.dtype == jnp.int8:
+        Vsel = _vsel(consts)
+        np_rows = Vsel.shape[0]
+        if Vsel.dtype == jnp.int8:
             nrminv = jnp.ones(n, jnp.float32)
         else:
             nrminv = 1.0 / consts.norms
         nrminv = jnp.pad(nrminv, (0, np_rows - n), constant_values=1.0)
         bias = jnp.where(consts.valid, 0.0, _NEG_INF)
         bias = jnp.pad(bias, (0, np_rows - n), constant_values=_NEG_INF)
-        f, _ = giga_select_pallas(consts.Vsel, dirs, nrminv, bias)
+        f, _ = giga_select_pallas(Vsel, dirs, nrminv, bias)
     else:
         # scores for every candidate: one thin matmul (n,S)@(S,2)
         dots = _select_dots(consts, dirs)           # == An^T [cdir, xw]
@@ -238,7 +375,7 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol, use_pallas: bool = F
         f = jnp.argmax(score)
 
     # reweight (giga.py:40-64), O(S) via cached xw
-    xf = consts.V[f]
+    xf = _v_row(consts, f)
     nf = consts.norms[f]
     xfn = xf / nf
     bxw = jnp.dot(bn, xwn)
@@ -259,7 +396,8 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol, use_pallas: bool = F
     alpha, beta = a * scale, c * scale
 
     w, xw = _rank1_update(state, consts, f, alpha, beta)
-    return w, xw, state.cts, state.idcs, state.size, state.key, ok_sel & ok_rw
+    idcs, size = _track_support(state, f)
+    return w, xw, state.cts, idcs, size, state.key, ok_sel & ok_rw
 
 
 # ---------------------------------------------------------------------------
@@ -275,7 +413,7 @@ def _fw_step(consts: SNNLSConsts, state: SNNLSState, tol):
 
     nsum = jnp.sum(jnp.where(consts.valid, consts.norms, 0.0))
     nf = consts.norms[f]
-    xf = consts.V[f]
+    xf = _v_row(consts, f)
     size_zero = ~jnp.any(state.w > 0)
 
     # line search (frankwolfe.py:26-37)
@@ -289,7 +427,8 @@ def _fw_step(consts: SNNLSConsts, state: SNNLSState, tol):
     ok = ok | size_zero                              # first-point vertex init
 
     w, xw = _rank1_update(state, consts, f, alpha, beta)
-    return w, xw, state.cts, state.idcs, state.size, state.key, ok
+    idcs, size = _track_support(state, f)
+    return w, xw, state.cts, idcs, size, state.key, ok
 
 
 # ---------------------------------------------------------------------------
@@ -309,21 +448,18 @@ def _omp_step(consts: SNNLSConsts, state: SNNLSState, tol, nnls_iters: int = 256
     f = jnp.where(~any_active | (pos_dots[fpos] >= neg_dots[fneg]), fpos, fneg)
 
     # append f to active slots if new (static-size bookkeeping)
-    already = jnp.any((state.idcs == f) & (jnp.arange(state.idcs.shape[0]) < state.size))
-    slot = jnp.minimum(state.size, state.idcs.shape[0] - 1)
-    idcs = jnp.where(already, state.idcs, state.idcs.at[slot].set(f))
-    size = jnp.where(already, state.size, jnp.minimum(state.size + 1, state.idcs.shape[0]))
+    idcs, size = _track_support(state, f)
 
     # full NNLS on the active set (orthopursuit.py:37-41), small gathered
     # system, warm-started from the current weights (fewer FISTA iterations
     # to re-converge after each single-atom change)
     mask0 = jnp.arange(idcs.shape[0]) < size
-    x0 = jnp.where(mask0, state.w[jnp.where(mask0, idcs, 0)], 0.0)
-    w_act = nnls_active_set(consts.V, consts.b, idcs, size, num_iters=nnls_iters,
-                            x0=x0)
-    w = jnp.zeros_like(state.w).at[idcs].add(
-        jnp.where(jnp.arange(idcs.shape[0]) < size, w_act, 0.0))
-    xw = jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
+    safe_idcs = jnp.where(mask0, idcs, 0)
+    x0 = jnp.where(mask0, state.w[safe_idcs], 0.0)
+    Aact = _gather_rows(consts, safe_idcs, mask0)
+    w_act = nnls_rows(Aact, consts.b, mask0, num_iters=nnls_iters, x0=x0)
+    w = jnp.zeros_like(state.w).at[idcs].add(jnp.where(mask0, w_act, 0.0))
+    xw = jnp.dot(w_act, Aact, preferred_element_type=jnp.float32)  # exact: support == active slots
     return w, xw, state.cts, idcs, size, state.key, jnp.array(True)
 
 
@@ -331,15 +467,19 @@ def _omp_step(consts: SNNLSConsts, state: SNNLSState, tol, nnls_iters: int = 256
 # Importance / uniform sampling (reference snnls/sampling.py:6-37)
 # ---------------------------------------------------------------------------
 
-def _sampling_step(consts: SNNLSConsts, state: SNNLSState, tol):
+def _sampling_step(consts: SNNLSConsts, state: SNNLSState, tol, matvec_k: int = 1024):
     key, sub = jax.random.split(state.key)
     logp = jnp.where(consts.ps > 0, jnp.log(jnp.where(consts.ps > 0, consts.ps, 1.0)),
                      _NEG_INF)
     f = jax.random.categorical(sub, logp)
     cts = state.cts.at[f].add(1.0)
     w = jnp.where(consts.ps > 0, (cts / jnp.sum(cts)) / jnp.where(consts.ps > 0, consts.ps, 1.0), 0.0)
-    xw = jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
-    return w, xw, cts, state.idcs, state.size, key, jnp.array(True)
+    idcs, size = _track_support(state, f)
+    if _is_quantized(consts) and idcs.shape[0]:
+        xw = _support_matvec(consts, w, idcs, size)
+    else:
+        xw = _v_matvec(consts, w, support=matvec_k)
+    return w, xw, cts, idcs, size, key, jnp.array(True)
 
 
 _STEP_FNS = {
@@ -362,16 +502,21 @@ _CHECK_MONOTONE = {
 # Shared greedy build loop (reference snnls/snnls.py:31-79)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("method", "use_pallas"), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("method", "use_pallas", "matvec_k"),
+         donate_argnums=(1,))
 def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga",
-          use_pallas: bool = False) -> SNNLSState:
+          use_pallas: bool = False, matvec_k: int = 1024) -> SNNLSState:
     """Run up to ``itrs`` greedy iterations (continues from current state).
 
     ``use_pallas=True`` routes the GIGA selection through the fused Pallas
     kernel (requires a reduced-precision select copy, i.e. select_dtype set).
+    ``matvec_k`` bounds the weight support for sparse-gather matvecs in
+    int8-resident mode (see _v_matvec); ignored for f32 problems.
     """
     if use_pallas and method == "giga":
         step_fn = partial(_giga_step, use_pallas=True)
+    elif method in ("importance", "uniform"):
+        step_fn = partial(_sampling_step, matvec_k=matvec_k)
     else:
         step_fn = _STEP_FNS[method]
     check_monotone = _CHECK_MONOTONE[method]
@@ -381,12 +526,14 @@ def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga
         return (s.itr < itr_end) & ~s.done
 
     def body(s: SNNLSState) -> SNNLSState:
-        # periodic exact refresh of the cached matvec (f32 drift control)
-        xw = jax.lax.cond(
-            s.itr % REFRESH_EVERY == 0,
-            lambda: jnp.dot(consts.V.T, s.w, preferred_element_type=jnp.float32),
-            lambda: s.xw,
-        )
+        # periodic exact refresh of the cached matvec (f32 drift control);
+        # int8-resident mode gathers the tracked support instead of sorting
+        # the n-element weight vector
+        if _is_quantized(consts) and s.idcs.shape[0]:
+            exact = lambda: _support_matvec(consts, s.w, s.idcs, s.size)
+        else:
+            exact = lambda: _v_matvec(consts, s.w, support=matvec_k)
+        xw = jax.lax.cond(s.itr % REFRESH_EVERY == 0, exact, lambda: s.xw)
         s = s._replace(xw=xw)
 
         size_nonzero = jnp.any(s.w > 0)
@@ -425,14 +572,18 @@ def optimize_active(consts: SNNLSConsts, state: SNNLSState, idcs: jax.Array,
                     size, tol, num_iters: int = 512):
     """Re-solve weights on the current active set (snnls/snnls.py:81-97).
 
-    ``idcs`` are the active column indices (padded); returns the candidate
-    state and whether it improved the cost (caller rolls back otherwise).
+    ``idcs`` are the active column indices (padded, covering ALL w>0
+    entries); returns the candidate state and whether it improved the cost
+    (caller rolls back otherwise).
     """
-    w_act = nnls_active_set(consts.V, consts.b, idcs, size, num_iters=num_iters)
     mask = jnp.arange(idcs.shape[0]) < size
+    safe_idcs = jnp.where(mask, idcs, 0)
+    Aact = _gather_rows(consts, safe_idcs, mask)
+    w_act = nnls_rows(Aact, consts.b, mask, num_iters=num_iters)
     w = jnp.zeros_like(state.w).at[idcs].add(jnp.where(mask, w_act, 0.0))
-    xw = jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
-    prev_cost = _cached_error(consts, jnp.dot(consts.V.T, state.w, preferred_element_type=jnp.float32))
+    xw = jnp.dot(w_act, Aact, preferred_element_type=jnp.float32)
+    prev_w_act = jnp.where(mask, state.w[safe_idcs], 0.0)
+    prev_cost = _cached_error(consts, jnp.dot(prev_w_act, Aact, preferred_element_type=jnp.float32))
     new_cost = _cached_error(consts, xw)
     ok = new_cost <= prev_cost * (1.0 + tol)
     new_state = state._replace(
@@ -478,6 +629,23 @@ class SparseNNLS:
         self._seed = seed
         self.state = init_state(self.consts, jax.random.key(seed), self._max_active)
 
+    @classmethod
+    def from_consts(cls, consts: SNNLSConsts, seed: int = 0,
+                    max_active: int | None = None):
+        """Wrap pre-built problem constants (e.g. int8-resident consts from
+        :func:`make_consts_quantized` built by a streamed projection) without
+        re-materializing A.  Zero columns must already carry valid=False."""
+        self = cls.__new__(cls)
+        self.consts = consts
+        if cls.method == "giga" and float(consts.bnorm) == 0.0:
+            from ..utils.errors import NumericalPrecisionError
+            raise NumericalPrecisionError("norm of b must be > 0")
+        n = consts.V.shape[0]
+        self._max_active = int(max_active) if max_active is not None else min(n, 1024)
+        self._seed = seed
+        self.state = init_state(consts, jax.random.key(seed), self._max_active)
+        return self
+
     # -- reference API ------------------------------------------------------
     def reset(self):
         self.state = init_state(self.consts, jax.random.key(self._seed), self._max_active)
@@ -499,7 +667,7 @@ class SparseNNLS:
         return np.asarray(self.state.w)
 
     def error(self) -> float:
-        return float(error(self.consts, self.state.w))
+        return float(error(self.consts, self.state.w, support=self._max_active))
 
     @property
     def reached_numeric_limit(self) -> bool:
@@ -519,7 +687,7 @@ class SparseNNLS:
             return
         if checkpoint_path is None:
             self.state = build(self.consts, self.state, itrs, config.TOL,
-                               method=self.method)
+                               method=self.method, matvec_k=self._max_active)
             return
         import os
         from ..utils import checkpoint as ckpt
@@ -534,7 +702,7 @@ class SparseNNLS:
         while int(self.state.itr) < target and not self.reached_numeric_limit:
             step = min(chunk, target - int(self.state.itr))
             self.state = build(self.consts, self.state, step, config.TOL,
-                               method=self.method)
+                               method=self.method, matvec_k=self._max_active)
             self.save(checkpoint_path)
 
     def optimize(self, solver: str = "fista"):
@@ -552,10 +720,14 @@ class SparseNNLS:
             return
         if solver == "exact":
             from .. import native
-            V = np.asarray(self.consts.V, np.float64)
+            # gather ONLY the active rows (in int8-resident mode the full
+            # f32 V does not exist and must never be materialized)
+            Vact = np.asarray(self.consts.V[jnp.asarray(act)], np.float64)
+            if self.consts.V.dtype == jnp.int8:
+                Vact = Vact * (np.asarray(self.consts.norms)[act, None] / 127.0)
             b = np.asarray(self.consts.b, np.float64)
             prev_err = self.error()
-            x, _ = native.nnls(V[act].T, b)
+            x, _ = native.nnls(Vact.T, b)
             w_new = np.zeros_like(w)
             w_new[act] = x.astype(w.dtype)
             cand = self.state._replace(w=jnp.asarray(w_new))

@@ -232,3 +232,45 @@ class TestSVIErrorEstimate:
         assert e15 < e3               # residual shrinks as the coreset grows
         svi.optimize()                # must not latch on MC noise
         assert not svi.reached_numeric_limit
+
+
+class TestStreamedHilbert:
+    """int8-resident (beyond-HBM) construction: chunked projection with
+    on-chip quantization (stream_chunk_size)."""
+
+    def test_streamed_matches_inmemory_quality(self, gauss_setup):
+        g = gauss_setup
+        prj = bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"])
+        hs = bct.HilbertCoreset(g["x"], prj, stream_chunk_size=128)  # 400 -> 4 chunks, last padded
+        hs.build(100)
+        w, p, i = hs.get()
+        assert (w >= 0).all()
+        assert i.max() < g["N"] and i.min() >= 0
+        assert g["rkl"](w, p) < 1.0
+        # incremental build continues
+        hs.build(50)
+        assert hs.error() >= 0.0
+
+    def test_streamed_rejects_subsample(self, gauss_setup):
+        g = gauss_setup
+        prj = bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"])
+        with pytest.raises(ValueError):
+            bct.HilbertCoreset(g["x"], prj, n_subsample=100, stream_chunk_size=128)
+
+    def test_streamed_quantization_matches_direct(self, gauss_setup):
+        """The streamed int8 rows / norms / b must equal direct on-host
+        quantization of the full projection (same projector ctx)."""
+        g = gauss_setup
+        prj = bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"])
+        hs = bct.HilbertCoreset(g["x"], prj, stream_chunk_size=128)
+        consts = hs.snnls.consts
+        vecs = np.asarray(prj.project(g["x"]))
+        norms = np.sqrt((vecs**2).sum(axis=1))
+        safe = np.where(norms > 0, norms, 1.0)
+        Vq = np.clip(np.round(vecs / safe[:, None] * 127.0), -127, 127).astype(np.int8)
+        N = g["N"]
+        np.testing.assert_array_equal(np.asarray(consts.V)[:N, :g["S"]], Vq)
+        np.testing.assert_allclose(np.asarray(consts.norms)[:N], norms, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(consts.b)[:g["S"]], vecs.sum(axis=0),
+                                   rtol=1e-4, atol=1e-3)
+        assert not np.asarray(consts.valid)[N:].any()

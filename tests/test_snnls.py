@@ -242,3 +242,75 @@ def test_sampling_solver_with_valid_mask(rng):
         alg.build(300)
         assert (alg.weights()[40:] == 0).all()
         assert alg.size() > 0
+
+
+# ---------------------------------------------------------------------------
+# int8-resident (beyond-HBM) mode: make_consts_quantized / from_consts
+# ---------------------------------------------------------------------------
+
+def _quantize_rows(A):
+    """Host-side reference quantization: V rows normalized, scaled to +-127."""
+    V = A.T
+    norms = np.sqrt((V**2).sum(axis=1))
+    safe = np.where(norms > 0, norms, 1.0)
+    Vq = np.clip(np.round(V / safe[:, None] * 127.0), -127, 127).astype(np.int8)
+    return Vq, norms.astype(np.float32)
+
+
+@pytest.mark.parametrize("cls", ALL)
+def test_quantized_mode_converges(cls, rng):
+    from bayesian_coresets_tpu.ops import make_consts_quantized
+    A, b = _problem(rng, S=40, n=300)
+    Vq, norms = _quantize_rows(A)
+    consts = make_consts_quantized(
+        jnp.asarray(Vq), jnp.asarray(norms), jnp.asarray(b),
+        sampling=cls.method if cls.method in ("importance", "uniform") else None)
+    alg = cls.from_consts(consts, max_active=512)
+    e0 = alg.error()
+    alg.build(80)
+    w = alg.weights()
+    assert (w >= 0).all()
+    assert w[300:].sum() == 0.0            # padded rows never selected
+    if cls.method in ("giga", "frankwolfe", "orthopursuit"):
+        assert alg.error() < e0
+        # greedy solvers should roughly match their f32 counterparts
+        ref = cls(A, b, max_active=512)
+        ref.build(80)
+        assert alg.error() < max(2.0 * ref.error(), 0.05 * e0)
+    else:
+        # sampling solvers converge statistically (high variance early)
+        alg.build(2000)
+        assert alg.error() < e0
+
+
+def test_quantized_matvec_and_error_exact_on_support(rng):
+    """error(support=k) must equal the dense dequantized matvec when
+    nnz(w) <= k."""
+    from bayesian_coresets_tpu.ops import make_consts_quantized
+    from bayesian_coresets_tpu.ops.snnls import error as snnls_error
+    A, b = _problem(rng, S=16, n=100)
+    Vq, norms = _quantize_rows(A)
+    consts = make_consts_quantized(jnp.asarray(Vq), jnp.asarray(norms), jnp.asarray(b))
+    w = np.zeros(consts.V.shape[0], np.float32)
+    idx = rng.choice(100, size=7, replace=False)
+    w[idx] = rng.uniform(0.5, 2.0, size=7).astype(np.float32)
+    Vdeq = Vq.astype(np.float64) * (norms[:, None] / 127.0)
+    want = np.linalg.norm(Vdeq.T @ w[:100] - np.asarray(b, np.float64))
+    got = float(snnls_error(consts, jnp.asarray(w), support=16))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_quantized_optimize_paths(rng):
+    from bayesian_coresets_tpu.ops import GIGA, make_consts_quantized
+    A, b = _problem(rng, S=30, n=150)
+    Vq, norms = _quantize_rows(A)
+    consts = make_consts_quantized(jnp.asarray(Vq), jnp.asarray(norms), jnp.asarray(b))
+    alg = GIGA.from_consts(consts, max_active=256)
+    alg.build(40)
+    e_before = alg.error()
+    alg.optimize()                      # on-chip FISTA on gathered rows
+    assert alg.error() <= e_before * (1.0 + 1e-5)
+    alg2 = GIGA.from_consts(consts, max_active=256)
+    alg2.build(40)
+    alg2.optimize(solver="exact")       # native LH on dequantized gather
+    assert alg2.error() <= e_before * (1.0 + 1e-5)
