@@ -5,7 +5,8 @@ over dataset rows, TP over the projection dimension, chain parallelism for
 MCMC; collectives are inserted by XLA from sharding annotations.
 """
 
-from .coreset import build_sharded, shard_consts, shard_state
+from .coreset import (build_sharded, build_sharded_quantized,
+                      shard_consts, shard_state)
 from .distributed import initialize, local_data_shard
 from .mcmc import run_nuts_sharded
 from .mesh import CHAIN_AXIS, DATA_AXIS, PROJ_AXIS, data_sharding, make_mesh, replicated
@@ -18,6 +19,7 @@ __all__ = [
     "PROJ_AXIS",
     "CHAIN_AXIS",
     "build_sharded",
+    "build_sharded_quantized",
     "shard_consts",
     "shard_state",
     "run_nuts_sharded",

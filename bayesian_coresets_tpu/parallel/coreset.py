@@ -70,3 +70,24 @@ def build_sharded(A, b, itrs: int, mesh: Mesh, method: str = "giga",
     state = snnls.init_state(consts, key, max_active=max_active)
     state = shard_state(state, mesh, shard_proj)
     return snnls.build(consts, state, itrs, config.TOL, method=method)
+
+
+def build_sharded_quantized(Vq, norms, b, itrs: int, mesh: Mesh,
+                            method: str = "giga", valid=None, key=None,
+                            max_active: int = 1024) -> snnls.SNNLSState:
+    """Sharded build over int8-RESIDENT constants (beyond-HBM x DP).
+
+    Composes `make_consts_quantized` with row sharding: each chip holds
+    1/|mesh| of the int8 copy, so a pod slice scales the single-chip
+    beyond-HBM ceiling by the device count (e.g. 8 x v5e ~ N=160M at
+    S=512).  Row gathers (reweight dequantization, support-tracked matvec
+    refresh) lower to XLA collectives automatically.
+    """
+    sampling = method if method in ("importance", "uniform") else None
+    consts = snnls.make_consts_quantized(Vq, norms, b, valid=valid,
+                                         sampling=sampling)
+    consts = shard_consts(consts, mesh, shard_proj=False)
+    state = snnls.init_state(consts, key, max_active=max_active)
+    state = shard_state(state, mesh, shard_proj=False)
+    return snnls.build(consts, state, itrs, config.TOL, method=method,
+                       matvec_k=max_active)

@@ -73,3 +73,25 @@ def test_sharded_pooled_adaptation(cpu_devices):
     s = np.asarray(res.samples).reshape(-1, 3)
     np.testing.assert_allclose(s.std(0), np.ones(3), atol=0.12)
     assert np.unique(np.asarray(res.step_size)).size == 1
+
+
+def test_sharded_quantized_build_matches_single_device(rng, cpu_devices):
+    """Beyond-HBM int8-resident mode composes with row sharding: the DP
+    build must bit-match the single-device quantized build."""
+    from bayesian_coresets_tpu.parallel import build_sharded_quantized
+    Sdim, n = 32, 2048   # row count a multiple of 1024 (quantized row tiles)
+    A = rng.normal(size=(Sdim, n)).astype(np.float32)
+    b = A.sum(axis=1)
+    V = A.T
+    norms = np.sqrt((V**2).sum(axis=1)).astype(np.float32)
+    Vq = np.clip(np.round(V / norms[:, None] * 127.0), -127, 127).astype(np.int8)
+
+    mesh = make_mesh({"data": 8})
+    st = build_sharded_quantized(jnp.asarray(Vq), jnp.asarray(norms),
+                                 jnp.asarray(b), 50, mesh, max_active=256)
+
+    consts = S.make_consts_quantized(jnp.asarray(Vq), jnp.asarray(norms), jnp.asarray(b))
+    alg = S.GIGA.from_consts(consts, max_active=256)
+    alg.build(50)
+    np.testing.assert_allclose(np.asarray(st.w), alg.weights(), rtol=1e-5, atol=1e-6)
+    assert float(S.error(consts, st.w, support=256)) < float(jnp.sqrt(jnp.sum(jnp.asarray(b)**2)))
