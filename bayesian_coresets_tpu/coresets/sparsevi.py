@@ -162,7 +162,8 @@ class SparseVICoreset(Coreset):
 
     def __init__(self, data, ll_projector, n_subsample_select=None,
                  n_subsample_opt=None, opt_itrs: int = 100,
-                 step_sched=lambda i: 1.0 / (1.0 + i), seed: int = 0):
+                 step_sched=lambda i: 1.0 / (1.0 + i), seed: int = 0,
+                 capacity: int | None = None):
         super().__init__()
         self.data = jnp.asarray(data, config.default_dtype())
         n = self.data.shape[0]
@@ -173,10 +174,16 @@ class SparseVICoreset(Coreset):
         self.step_sched = step_sched
         self._seed = seed
         self._key = jax.random.key(seed)
+        # slot capacity doubles on demand, which recompiles the build core at
+        # every new shape; passing the final target size up front (e.g. the
+        # driver's coreset_size_max) compiles once for the whole sweep
+        self._init_cap = int(capacity) if capacity is not None else 0
         self._cap = 0
         self._wts = jnp.zeros((0,), self.data.dtype)
         self._idcs = jnp.full((0,), -1, jnp.int32)
         self._size = jnp.int32(0)
+        if self._init_cap:
+            self._ensure_capacity(self._init_cap)
 
     def reset(self):
         self._key = jax.random.key(self._seed)
@@ -184,6 +191,8 @@ class SparseVICoreset(Coreset):
         self._wts = jnp.zeros((0,), self.data.dtype)
         self._idcs = jnp.full((0,), -1, jnp.int32)
         self._size = jnp.int32(0)
+        if self._init_cap:
+            self._ensure_capacity(self._init_cap)
         super().reset()
 
     def save(self, path: str):

@@ -83,19 +83,23 @@ def run(arguments):
     sched = step_sched(arguments.step_sched)
     seed = arguments.trial
 
+    stream = getattr(arguments, "stream_chunk_size", None) or None
+
     def make_alg(name):
+        cap = int(arguments.coreset_size_max)   # compile once for the sweep
         if name == "SVI-EXACT":
             return bc.SparseVICoreset(x, exact_family, opt_itrs=arguments.opt_itrs,
-                                      step_sched=sched, seed=seed)
+                                      step_sched=sched, seed=seed, capacity=cap)
         if name == "SVI":
             return bc.SparseVICoreset(
                 x, bc.BlackBoxProjector(sampler_bb, S, loglik, gradll),
-                opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed)
+                opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed,
+                capacity=cap)
         sd = {"f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8}[arguments.select_dtype]
         if name == "GIGA-OPT":
             return bc.HilbertCoreset(
                 x, bc.BlackBoxProjector(sampler_optimal, S, loglik, gradll), seed=seed,
-                select_dtype=sd)
+                select_dtype=sd, stream_chunk_size=stream)
         if name == "GIGA-OPT-EXACT":
             prj = bc.FamilyProjector(exact_family)
             prj.update(jnp.ones(N), x)
@@ -187,6 +191,9 @@ def main(argv=None):
     parser.add_argument("--step_sched", type=str, default="inv")
     parser.add_argument("--select_dtype", choices=["f32", "bf16", "int8"], default="f32",
                         help="reduced-precision selection copy for Hilbert solvers")
+    parser.add_argument("--stream_chunk_size", type=int, default=0,
+                        help="(GIGA-OPT) chunked projection with int8-resident "
+                             "storage: beyond-HBM datasets on one chip")
     arguments = parser.parse_args(argv)
     if not hasattr(arguments, "func"):
         parser.error("specify a subcommand: run | plot")

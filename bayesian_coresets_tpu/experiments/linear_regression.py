@@ -121,13 +121,15 @@ def run(arguments):
     seed = arguments.trial
 
     def make_alg(name):
+        cap = int(arguments.coreset_size_max)   # compile once for the sweep
         if name == "SVI":
             return bc.SparseVICoreset(
                 Zj, bc.BlackBoxProjector(sampler_bb, S, loglik, gradll),
-                opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed)
+                opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed,
+                capacity=cap)
         if name == "SVI-EXACT":
             return bc.SparseVICoreset(Zj, exact_family, opt_itrs=arguments.opt_itrs,
-                                      step_sched=sched, seed=seed)
+                                      step_sched=sched, seed=seed, capacity=cap)
         if name == "GIGA-OPT":
             return bc.HilbertCoreset(Zj, bc.BlackBoxProjector(sampler_optimal, S, loglik),
                                      seed=seed)

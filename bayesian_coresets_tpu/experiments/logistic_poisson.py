@@ -116,7 +116,8 @@ def run(arguments):
             return bc.SparseVICoreset(
                 Z, bc.BlackBoxProjector(sampler_bb, S, model.log_likelihood,
                                         model.grad_z_log_likelihood),
-                opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed)
+                opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed,
+                capacity=int(arguments.coreset_size_max))
         sd = {"f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8}[arguments.select_dtype]
         if name == "GIGA-OPT":
             return bc.HilbertCoreset(

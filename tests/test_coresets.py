@@ -274,3 +274,22 @@ class TestStreamedHilbert:
         np.testing.assert_allclose(np.asarray(consts.b)[:g["S"]], vecs.sum(axis=0),
                                    rtol=1e-4, atol=1e-3)
         assert not np.asarray(consts.valid)[N:].any()
+
+
+def test_sparsevi_capacity_hint(gauss_setup):
+    """capacity= preallocates slots (one compile per sweep); results must
+    be identical to the default growth path given the same seed."""
+    g = gauss_setup
+    a = bct.SparseVICoreset(g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"]),
+                            opt_itrs=10, seed=3, capacity=16)
+    assert a._cap == 16
+    a.build(5)
+    a.build(5)
+    assert a.size() <= 10
+    b = bct.SparseVICoreset(g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"]),
+                            opt_itrs=10, seed=3)
+    b.build(5)
+    b.build(5)
+    np.testing.assert_array_equal(a.idcs, b.idcs)
+    a.reset()
+    assert a._cap == 16 and a.size() == 0
