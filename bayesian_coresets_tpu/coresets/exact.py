@@ -68,21 +68,33 @@ def gaussian_tangent_family(mu0, Sig0inv, Siginv, LSigInv) -> TangentFamily:
     return TangentFamily(make_ctx, project, project_grad)
 
 
-def linreg_tangent_family(mu0, Sig0inv, sigsq, bV) -> TangentFamily:
+def linreg_tangent_family(mu0, Sig0inv, sigsq, bV,
+                          lowrank_refit: bool | None = None) -> TangentFamily:
     """Exact tangent family for Bayesian linear regression.
 
     ``bV`` (d, p): top-p eigenvectors of X^T X; the quadratic feature block
     is projected onto them, giving feature dimension d + p^2
     (reference linear_regression/main.py:158-186).
+
+    ``lowrank_refit``: use the rank-m Woodbury posterior refit
+    (:func:`models.linreg.weighted_post_lowrank`) instead of the (m+d, d)
+    QR on SparseVI's per-Adam-step critical path.  Default (None) picks it
+    automatically when the coreset capacity m is below the parameter
+    dimension d at trace time; pass False for extremely ill-conditioned
+    designs (see the weighted_post_lowrank note).
     """
     mu0 = jnp.asarray(mu0)
     bV = jnp.asarray(bV)
     d = mu0.shape[0]
+    lr_basis = jax.jit(linreg.lowrank_basis)(mu0, Sig0inv, sigsq)
 
     def make_ctx(key, wts, pts):
         if pts.size == 0:  # trace-time: empty coreset -> prior posterior
             wts = jnp.zeros(1, mu0.dtype)
             pts = jnp.zeros((1, d + 1), mu0.dtype)
+        use_lr = (pts.shape[0] <= d) if lowrank_refit is None else lowrank_refit
+        if use_lr:
+            return linreg.weighted_post_lowrank(lr_basis, pts, wts)
         post = linreg.weighted_post(mu0, Sig0inv, sigsq, pts, wts)
         return (post.mu, post.USig)
 

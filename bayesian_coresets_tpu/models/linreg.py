@@ -10,6 +10,8 @@ Model: y_i ~ N(x_i . th, sigsq), th ~ N(th0, Sig0).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
@@ -22,6 +24,8 @@ __all__ = [
     "log_likelihood",
     "grad_x_log_likelihood",
     "weighted_post",
+    "weighted_post_lowrank",
+    "lowrank_basis",
     "kl_divergence",
     "rbf_features",
 ]
@@ -100,6 +104,62 @@ def sample_weighted_post(key, th0, Sig0inv, sigsq, z, w, n_samples: int) -> jax.
     eps = jax.random.normal(key, (n_samples, th0.shape[0]), dtype=post.USig.dtype)
     R = post.LSigInv.T
     return post.mu + solve_triangular(R, eps.T, lower=False).T
+
+
+class LowRankBasis(NamedTuple):
+    """One-time prior factorization for :func:`weighted_post_lowrank`."""
+
+    L0inv: jax.Array    # (d, d) with Sig0inv = L0 L0^T
+    L0invT: jax.Array   # (d, d)
+    r0: jax.Array       # (d,) = Sig0inv @ th0
+    sigsq: jax.Array    # noise variance (scalar)
+
+
+def lowrank_basis(th0, Sig0inv, sigsq) -> LowRankBasis:
+    th0 = jnp.asarray(th0)
+    d = th0.shape[0]
+    L0 = jnp.linalg.cholesky(Sig0inv)
+    L0inv = solve_triangular(L0, jnp.eye(d, dtype=L0.dtype), lower=True)
+    return LowRankBasis(L0inv, L0inv.T, Sig0inv @ th0, jnp.asarray(sigsq))
+
+
+def weighted_post_lowrank(basis: LowRankBasis, z, w):
+    """Weighted posterior via a RANK-m Woodbury update of the prior.
+
+    The coreset design has only m = len(w) rows, so
+    ``prec = Sig0inv + X^T diag(w) X / sigsq = L0 (I + W^T W) L0^T`` with
+    ``W = diag(sqrt(w)) X L0^{-T} / sigma`` (m, d): an eigh of the (m, m)
+    Gram replaces the (m+d, d) QR on SparseVI's per-Adam-step critical path
+    (reference sparsevi.py:70-74) — everything else is MXU matmuls.
+
+    Returns ``(mu, F)`` with ``Sig = F F^T`` (non-triangular factor; valid
+    wherever only the Gram matters — tangent features, sampling).
+    NOTE: the Gram squares W's conditioning, so for EXTREMELY
+    ill-conditioned designs (lam_max/lam_min beyond ~1/eps_f32) prefer the
+    QR path (:func:`weighted_post`); the exact-metric computations always
+    use it.
+    """
+    x, y = _split(z)
+    m = x.shape[0]
+    sw = jnp.sqrt(jnp.maximum(w, 0.0))
+    W = (sw[:, None] * x) @ basis.L0invT / jnp.sqrt(basis.sigsq)   # (m, d)
+    G = W @ W.T
+    lam, U = jnp.linalg.eigh(0.5 * (G + G.T))                      # (m,), (m, m)
+    lam = jnp.maximum(lam, 0.0)
+    tol = 1e-7 * jnp.maximum(jnp.max(lam), 1e-30)
+    mask = lam > tol
+    lam_safe = jnp.where(mask, lam, 1.0)
+    V = (W.T @ U) / jnp.sqrt(lam_safe)[None, :]                    # (d, m)
+    V = jnp.where(mask[None, :], V, 0.0)
+    c_inv = jnp.where(mask, lam / (1.0 + lam), 0.0)
+    c_half = jnp.where(mask, 1.0 - 1.0 / jnp.sqrt(1.0 + lam), 0.0)
+
+    rhs = basis.r0 + x.T @ (w * y) / basis.sigsq
+    t = basis.L0inv @ rhs
+    t = t - V @ (c_inv * (V.T @ t))                                # (I+W^TW)^{-1}
+    mu = basis.L0invT @ t
+    F = basis.L0invT - ((basis.L0invT @ V) * c_half[None, :]) @ V.T
+    return mu, F
 
 
 def rbf_features(x: jax.Array, centers: jax.Array, scales: jax.Array) -> jax.Array:

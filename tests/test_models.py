@@ -269,3 +269,35 @@ def test_kl_divergence_np_f64_robustness(rng):
     assert abs(kl_same) < 1e-4
     Sig2 = Sig * 1.01
     assert kl_divergence_np(mu, Sig, mu, np.linalg.inv(Sig2)) >= 0
+
+
+class TestLinregLowRank:
+    def test_matches_qr_posterior(self, rng):
+        d, m = 12, 5
+        x = rng.normal(size=(m, d)).astype(np.float32)
+        y = rng.normal(size=m).astype(np.float32)
+        z = np.concatenate([x, y[:, None]], axis=1)
+        w = rng.uniform(0, 3, size=m).astype(np.float32)
+        th0 = rng.normal(size=d).astype(np.float32)
+        A0 = rng.normal(size=(d, d))
+        Sig0inv = (A0 @ A0.T / d + np.eye(d)).astype(np.float32)
+        sigsq = 0.25
+
+        basis = linreg.lowrank_basis(th0, Sig0inv, sigsq)
+        mu_lr, F = linreg.weighted_post_lowrank(basis, z, w)
+        post = linreg.weighted_post(th0, Sig0inv, sigsq, z, w)
+        np.testing.assert_allclose(_as_np(mu_lr), _as_np(post.mu), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(_as_np(F) @ _as_np(F).T,
+                                   _as_np(post.USig) @ _as_np(post.USig).T,
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_zero_weights_give_prior(self, rng):
+        d, m = 6, 4
+        z = rng.normal(size=(m, d + 1)).astype(np.float32)
+        th0 = rng.normal(size=d).astype(np.float32)
+        Sig0inv = np.eye(d, dtype=np.float32) * 2.0
+        basis = linreg.lowrank_basis(th0, Sig0inv, 0.5)
+        mu_lr, F = linreg.weighted_post_lowrank(basis, z, np.zeros(m, np.float32))
+        np.testing.assert_allclose(_as_np(mu_lr), th0, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(_as_np(F) @ _as_np(F).T, np.linalg.inv(Sig0inv),
+                                   rtol=1e-4, atol=1e-4)
