@@ -109,6 +109,31 @@ def build_schedule(num_warmup: int, init_buffer: int = 75, term_buffer: int = 50
     return in_slow, window_end
 
 
+def build_segments(num_warmup: int, init_buffer: int = 75, term_buffer: int = 50,
+                   base_window: int = 25):
+    """Static warmup segmentation: tuple of (length, slow, boundary).
+
+    ``slow``: accumulate Welford mass statistics during the segment;
+    ``boundary``: at segment end, swap in the new mass matrix, RE-SEARCH a
+    reasonable step size under it, and restart dual averaging (Stan's window
+    semantics — restarting around the old step after the metric changes
+    leaves it in the wrong units, and chains that land orders of magnitude
+    off cannot recover within the next window).
+    """
+    in_slow, window_end = build_schedule(num_warmup, init_buffer, term_buffer,
+                                         base_window)
+    segments = []
+    start = 0
+    for i in range(num_warmup):
+        boundary = bool(window_end[i])
+        last = i == num_warmup - 1
+        change = (not last) and (bool(in_slow[i + 1]) != bool(in_slow[i]))
+        if boundary or last or change:
+            segments.append((i - start + 1, bool(in_slow[i]), boundary))
+            start = i + 1
+    return tuple(s for s in segments if s[0] > 0)
+
+
 def find_reasonable_step_size(value_and_grad_fn, z, logp, grad, inv_mass_diag,
                               key, init_step=1.0, target=0.8):
     """Double/halve the step until the one-step acceptance crosses 0.5

@@ -106,12 +106,16 @@ def _build_subtree(value_and_grad_fn, start: IntegratorState, num_steps, step,
         idx_max = _popcount(i) - 1
         idx_min = idx_max - _trailing_ones(i) + 1
 
-        def check_slot(k, turning):
-            in_range = (k >= idx_min) & (k <= idx_max) & ~is_even
-            t = _is_turning(ckpt_z[k], ckpt_r[k], s.z, s.r, inv_mass_diag)
-            return turning | (in_range & t)
-
-        turning = jax.lax.fori_loop(0, max_depth, check_slot, c.turning)
+        # vectorized U-turn checks against all checkpoint slots at once
+        # (a fori_loop here puts ~max_depth sequential gathers+dots on the
+        # per-leapfrog critical path — NUTS is latency-bound on TPU, so the
+        # slot loop must be two matvecs + a masked any())
+        ks = jnp.arange(max_depth)
+        in_range = (ks >= idx_min) & (ks <= idx_max) & ~is_even
+        dz = s.z[None, :] - ckpt_z                        # (max_depth, d)
+        t_minus = jnp.sum(dz * (inv_mass_diag[None, :] * ckpt_r), axis=1) < 0
+        t_plus = (dz @ (inv_mass_diag * s.r)) < 0
+        turning = c.turning | jnp.any(in_range & (t_minus | t_plus))
 
         return _SubtreeCarry(s, ckpt_z, ckpt_r, prop, new_logw,
                              c.sum_accept + accept, turning, diverging, i + 1, key)

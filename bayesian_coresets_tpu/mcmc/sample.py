@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .adapt import (
-    build_schedule,
+    build_segments,
     da_init,
     da_update,
     find_reasonable_step_size,
@@ -36,8 +36,8 @@ class MCMCResult(NamedTuple):
     inv_mass_diag: jax.Array  # (num_chains, d)
 
 
-def _single_chain(logdensity_fn, init_z, key, num_warmup, num_samples,
-                  max_depth, target_accept, in_slow, window_end):
+def _single_chain(logdensity_fn, init_z, key, segments, num_samples,
+                  max_depth, target_accept):
     vg = jax.value_and_grad(logdensity_fn)
     logp0, grad0 = vg(init_z)
     d = init_z.shape[0]
@@ -47,31 +47,35 @@ def _single_chain(logdensity_fn, init_z, key, num_warmup, num_samples,
     inv_mass = jnp.ones(d, dtype)
     step0 = find_reasonable_step_size(vg, init_z, logp0, grad0, inv_mass, k_find)
 
-    state0 = IntegratorState(init_z, jnp.zeros(d, dtype), logp0, grad0)
-    da0 = da_init(step0)
-    wf0 = welford_init(d, dtype)
+    state = IntegratorState(init_z, jnp.zeros(d, dtype), logp0, grad0)
+    da = da_init(step0)
+    wf = welford_init(d, dtype)
 
-    def warmup_step(carry, xs):
-        state, da, wf, inv_mass, key = carry
-        slow, wend = xs
-        key, k = jax.random.split(key)
-        state, info = nuts_kernel(vg, k, state, jnp.exp(da.log_step), inv_mass,
-                                  max_depth)
-        da = da_update(da, info.accept_prob, target=target_accept)
-        wf = jax.tree.map(
-            lambda new, old: jnp.where(slow, new, old), welford_update(wf, state.z), wf)
-        # at a window boundary: swap in the new mass matrix, restart welford
-        # and dual averaging around the current step size (Stan semantics)
-        new_mass = welford_variance(wf)
-        inv_mass = jnp.where(wend, new_mass, inv_mass)
-        da_reset = da_init(jnp.exp(da.log_step))
-        da = jax.tree.map(lambda a, b: jnp.where(wend, a, b), da_reset, da)
-        wf_reset = welford_init(d, dtype)
-        wf = jax.tree.map(lambda a, b: jnp.where(wend, a, b), wf_reset, wf)
-        return (state, da, wf, inv_mass, key), None
+    # one scan per (static) schedule segment; the mass matrix is a captured
+    # constant within each segment.  At window boundaries: swap in the new
+    # mass, RE-SEARCH a reasonable step size under it, restart dual
+    # averaging and Welford (Stan semantics — see adapt.build_segments).
+    for length, slow, boundary in segments:
+        def warmup_step(carry, _, inv_mass=inv_mass, slow=slow):
+            state, da, wf, key = carry
+            key, k = jax.random.split(key)
+            state, info = nuts_kernel(vg, k, state, jnp.exp(da.log_step),
+                                      inv_mass, max_depth)
+            da = da_update(da, info.accept_prob, target=target_accept)
+            if slow:
+                wf = welford_update(wf, state.z)
+            return (state, da, wf, key), None
 
-    (state, da, _, inv_mass, key), _ = jax.lax.scan(
-        warmup_step, (state0, da0, wf0, inv_mass, key), (in_slow, window_end))
+        (state, da, wf, key), _ = jax.lax.scan(
+            warmup_step, (state, da, wf, key), None, length=length)
+        if boundary:
+            inv_mass = welford_variance(wf)
+            key, k_find = jax.random.split(key)
+            step_b = find_reasonable_step_size(
+                vg, state.z, state.logp, state.grad, inv_mass, k_find,
+                init_step=jnp.exp(da.log_step))
+            da = da_init(step_b)
+            wf = welford_init(d, dtype)
 
     step_size = jnp.exp(da.log_step_avg)
 
@@ -86,8 +90,8 @@ def _single_chain(logdensity_fn, init_z, key, num_warmup, num_samples,
     return zs, jnp.mean(accepts), jnp.sum(divs), step_size, inv_mass
 
 
-def _pooled_chains(logdensity_fn, init_params, key, num_warmup, num_samples,
-                   max_depth, target_accept, in_slow, window_end):
+def _pooled_chains(logdensity_fn, init_params, key, segments, num_samples,
+                   max_depth, target_accept):
     """Warmup with CROSS-CHAIN pooled adaptation: one shared step size driven
     by the mean acceptance statistic over all chains, and one shared mass
     matrix estimated from every chain's positions (Chan-merged Welford).
@@ -98,37 +102,40 @@ def _pooled_chains(logdensity_fn, init_params, key, num_warmup, num_samples,
     dtype = init_params.dtype
 
     logp0, grad0 = jax.vmap(vg)(init_params)
-    states0 = IntegratorState(init_params, jnp.zeros_like(init_params), logp0, grad0)
+    states = IntegratorState(init_params, jnp.zeros_like(init_params), logp0, grad0)
 
     key, k_find = jax.random.split(key)
     inv_mass = jnp.ones(d, dtype)
     step0 = find_reasonable_step_size(vg, init_params[0], logp0[0], grad0[0],
                                       inv_mass, k_find)
-    da0 = da_init(step0)
-    wf0 = welford_init(d, dtype)
+    da = da_init(step0)
+    wf = welford_init(d, dtype)
 
     kernel = jax.vmap(
         lambda k, s, step, im: nuts_kernel(vg, k, s, step, im, max_depth),
         in_axes=(0, 0, None, None))
 
-    def warmup_step(carry, xs):
-        states, da, wf, inv_mass, key = carry
-        slow, wend = xs
-        key, k = jax.random.split(key)
-        ks = jax.random.split(k, num_chains)
-        states, infos = kernel(ks, states, jnp.exp(da.log_step), inv_mass)
-        da = da_update(da, jnp.mean(infos.accept_prob), target=target_accept)
-        wf = jax.tree.map(lambda new, old: jnp.where(slow, new, old),
-                          welford_update_batch(wf, states.z), wf)
-        inv_mass = jnp.where(wend, welford_variance(wf), inv_mass)
-        da = jax.tree.map(lambda a, b: jnp.where(wend, a, b),
-                          da_init(jnp.exp(da.log_step)), da)
-        wf = jax.tree.map(lambda a, b: jnp.where(wend, a, b),
-                          welford_init(d, dtype), wf)
-        return (states, da, wf, inv_mass, key), None
+    for length, slow, boundary in segments:
+        def warmup_step(carry, _, inv_mass=inv_mass, slow=slow):
+            states, da, wf, key = carry
+            key, k = jax.random.split(key)
+            ks = jax.random.split(k, num_chains)
+            states, infos = kernel(ks, states, jnp.exp(da.log_step), inv_mass)
+            da = da_update(da, jnp.mean(infos.accept_prob), target=target_accept)
+            if slow:
+                wf = welford_update_batch(wf, states.z)
+            return (states, da, wf, key), None
 
-    (states, da, _, inv_mass, key), _ = jax.lax.scan(
-        warmup_step, (states0, da0, wf0, inv_mass, key), (in_slow, window_end))
+        (states, da, wf, key), _ = jax.lax.scan(
+            warmup_step, (states, da, wf, key), None, length=length)
+        if boundary:
+            inv_mass = welford_variance(wf)
+            key, k_find = jax.random.split(key)
+            step_b = find_reasonable_step_size(
+                vg, states.z[0], states.logp[0], states.grad[0], inv_mass,
+                k_find, init_step=jnp.exp(da.log_step))
+            da = da_init(step_b)
+            wf = welford_init(d, dtype)
 
     step_size = jnp.exp(da.log_step_avg)
 
@@ -161,21 +168,18 @@ def run_nuts(logdensity_fn: Callable, init_params: jax.Array, key,
     chains (collective statistics; reduces warmup variance and keeps sharded
     chains in lockstep).
     """
-    in_slow_np, wend_np = build_schedule(num_warmup)
-    in_slow = jnp.asarray(in_slow_np)
-    wend = jnp.asarray(wend_np)
+    segments = build_segments(num_warmup)
     num_chains = init_params.shape[0]
 
     if pooled_adaptation:
         zs, acc, divs, steps, inv_mass = _pooled_chains(
-            logdensity_fn, init_params, key, num_warmup, num_samples,
-            max_depth, target_accept, in_slow, wend)
+            logdensity_fn, init_params, key, segments, num_samples,
+            max_depth, target_accept)
         return MCMCResult(zs, acc, divs, steps, inv_mass)
 
     keys = jax.random.split(key, num_chains)
     chain = partial(_single_chain, logdensity_fn,
-                    num_warmup=num_warmup, num_samples=num_samples,
-                    max_depth=max_depth, target_accept=target_accept,
-                    in_slow=in_slow, window_end=wend)
+                    segments=segments, num_samples=num_samples,
+                    max_depth=max_depth, target_accept=target_accept)
     zs, acc, divs, steps, inv_mass = jax.vmap(chain)(init_params, keys)
     return MCMCResult(zs, acc, divs, steps, inv_mass)
