@@ -95,3 +95,42 @@ def test_sharded_quantized_build_matches_single_device(rng, cpu_devices):
     alg.build(50)
     np.testing.assert_allclose(np.asarray(st.w), alg.weights(), rtol=1e-5, atol=1e-6)
     assert float(S.error(consts, st.w, support=256)) < float(jnp.sqrt(jnp.sum(jnp.asarray(b)**2)))
+
+
+def test_sparsevi_and_bpsvi_sharded_data_match_single_device(cpu_devices):
+    """SparseVI/BPSVI cores are pure jits, so row-sharded data runs them
+    data-parallel with XLA-inserted collectives — results must match the
+    unsharded build exactly (greedy index selection) / numerically (weights)."""
+    import bayesian_coresets_tpu as bct
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bayesian_coresets_tpu.coresets import gaussian_tangent_family
+    from bayesian_coresets_tpu.models import gaussian
+
+    d, N = 8, 512
+    x = gaussian.gen_synthetic(jax.random.key(1), N, d)
+    fam = gaussian_tangent_family(jnp.zeros(d), jnp.eye(d), jnp.eye(d), jnp.eye(d))
+    mesh = make_mesh({"data": 8})
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+
+    a = bct.SparseVICoreset(x, fam, opt_itrs=20, seed=0, capacity=16)
+    a.build(10)
+    b = bct.SparseVICoreset(xs, fam, opt_itrs=20, seed=0, capacity=16)
+    b.build(10)
+    np.testing.assert_array_equal(a.idcs, b.idcs)
+    np.testing.assert_allclose(a.wts, b.wts, rtol=1e-5, atol=1e-6)
+
+    basis = gaussian.posterior_basis(jnp.zeros(d), jnp.eye(d), jnp.eye(d))
+    loglik = lambda pts, th: gaussian.log_likelihood(pts, th, jnp.eye(d), 0.0)
+    gradll = lambda pts, th: gaussian.grad_x_log_likelihood(pts, th, jnp.eye(d))
+    def sampler(k, n, w, p):
+        if p.size == 0:
+            w = jnp.zeros(1); p = jnp.zeros((1, d))
+        return gaussian.sample_weighted_post_basis(k, basis, p, w, n)
+    pa = bct.BatchPSVICoreset(x, bct.BlackBoxProjector(sampler, 40, loglik, gradll),
+                              opt_itrs=30, seed=0)
+    pa.build(6)
+    pb = bct.BatchPSVICoreset(xs, bct.BlackBoxProjector(sampler, 40, loglik, gradll),
+                              opt_itrs=30, seed=0)
+    pb.build(6)
+    np.testing.assert_allclose(pa.wts, pb.wts, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(pa.pts, pb.pts, rtol=1e-4, atol=1e-4)
