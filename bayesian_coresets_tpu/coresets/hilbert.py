@@ -23,11 +23,36 @@ from __future__ import annotations
 from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.snnls import GIGA, make_consts_quantized
 from .coreset import Coreset
 from .projector import Projector
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.jit
+def _quantize_chunk(vecs, live):
+    """f32 (C, S) projection chunk -> (int8 normalized rows, norms, b part).
+
+    Module-level jit so every streamed HilbertCoreset with the same chunk
+    shape shares one compilation.
+    """
+    rowmask = jnp.arange(vecs.shape[0]) < live
+    vecs = jnp.where(rowmask[:, None], vecs, 0.0)
+    nrm = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
+    safe = jnp.where(nrm > 0, nrm, 1.0)
+    q = jnp.clip(jnp.round(vecs / safe[:, None] * 127.0), -127, 127).astype(jnp.int8)
+    return q, nrm, jnp.sum(vecs, axis=0)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_chunk(buf, q, start, bacc, bsum):
+    return (jax.lax.dynamic_update_slice(buf, q, (start, 0)), bacc + bsum)
 
 
 class HilbertCoreset(Coreset):
@@ -69,28 +94,11 @@ class HilbertCoreset(Coreset):
                        seed: int, max_active, n_subsample):
         """Chunked projection -> on-chip int8 quantization -> int8-resident
         solver consts.  No f32 (n, S) is materialized on device or host."""
-        import jax
-
         if n_subsample is not None:
             raise ValueError("stream_chunk_size and n_subsample are mutually "
                              "exclusive (subsample the data first instead)")
         n = data.shape[0]
         n_chunks = -(-n // chunk)
-
-        @jax.jit
-        def quantize(vecs, live):
-            rowmask = jnp.arange(vecs.shape[0]) < live
-            vecs = jnp.where(rowmask[:, None], vecs, 0.0)
-            nrm = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
-            safe = jnp.where(nrm > 0, nrm, 1.0)
-            q = jnp.clip(jnp.round(vecs / safe[:, None] * 127.0),
-                         -127, 127).astype(jnp.int8)
-            return q, nrm, jnp.sum(vecs, axis=0)
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def write(buf, q, start, bacc, bsum):
-            return (jax.lax.dynamic_update_slice(buf, q, (start, 0)),
-                    bacc + bsum)
 
         buf = None
         b = None
@@ -105,12 +113,12 @@ class HilbertCoreset(Coreset):
                 S = vecs.shape[1]
                 # allocate pre-padded (row tile multiple x lane multiple) so
                 # make_consts_quantized never has to copy the big buffer
-                rows = -(-max(n, n_chunks * chunk) // 1024) * 1024
-                Sp = -(-S // 128) * 128
+                rows = _round_up(max(n, n_chunks * chunk), 1024)
+                Sp = _round_up(S, 128)
                 buf = jnp.zeros((rows, Sp), jnp.int8)
                 b = jnp.zeros((S,), jnp.float32)
-            q, nrm, bsum = quantize(vecs, jnp.int32(live))
-            buf, b = write(buf, q, jnp.int32(lo), b, bsum)
+            q, nrm, bsum = _quantize_chunk(vecs, jnp.int32(live))
+            buf, b = _write_chunk(buf, q, jnp.int32(lo), b, bsum)
             norm_chunks.append(np.asarray(nrm)[:live])
 
         norms = np.concatenate(norm_chunks)

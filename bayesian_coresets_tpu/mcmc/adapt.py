@@ -27,7 +27,9 @@ class DualAveragingState(NamedTuple):
 
 def da_init(step_size):
     log_step = jnp.log(step_size)
-    return DualAveragingState(log_step, jnp.zeros(()), jnp.zeros(()),
+    # the running average starts AT the current step (not exp(0)=1), so a
+    # zero-length window after a boundary reset keeps a sane step size
+    return DualAveragingState(log_step, log_step, jnp.zeros(()),
                               jnp.log(10.0) + log_step, jnp.zeros(()))
 
 

@@ -178,3 +178,23 @@ class TestRunWrapper:
         samples, t, res = M.run(poisson, z, jnp.ones(60), 50, jax.random.key(3),
                                 d=2)
         assert samples.shape == (50, 2)
+
+
+def test_laplace_init_and_fallback():
+    """Chains initialize from the Laplace fit when the model has grad/hess
+    (concentrated posteriors freeze from all-zeros inits); models without
+    Hessians fall back to zeros."""
+    import types
+    from bayesian_coresets_tpu.mcmc import weighted
+    from bayesian_coresets_tpu.models import logistic
+
+    Z = logistic.gen_synthetic(jax.random.key(0), 50, 4)
+    w = jnp.full(50, 100.0)
+    init = weighted.laplace_init(logistic, Z, w, 8, jax.random.key(1), 4)
+    assert init.shape == (8, 4)
+    assert not np.allclose(np.asarray(init), 0.0)       # near the mode, not 0
+    assert np.asarray(init).std(axis=0).max() < 1.0     # overdispersed but local
+
+    bare = types.SimpleNamespace(log_joint=logistic.log_joint)
+    init0 = weighted.laplace_init(bare, Z, w, 3, jax.random.key(1), 4)
+    np.testing.assert_array_equal(np.asarray(init0), np.zeros((3, 4)))
