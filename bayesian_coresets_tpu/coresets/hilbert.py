@@ -100,6 +100,20 @@ class HilbertCoreset(Coreset):
         n = data.shape[0]
         n_chunks = -(-n // chunk)
 
+        # streaming chunks are only consistent if the projector holds ONE
+        # fixed context across project() calls (true for FamilyProjector /
+        # BlackBoxProjector; a custom Projector that resamples inside
+        # project() would put chunks in different tangent bases).  Verify by
+        # projecting a sentinel row twice before committing to the stream.
+        sentinel = jnp.asarray(data[:1])
+        p1 = np.asarray(ll_projector.project(sentinel))
+        p2 = np.asarray(ll_projector.project(sentinel))
+        if not np.array_equal(p1, p2):
+            raise ValueError(
+                "stream_chunk_size requires a projector with a fixed context "
+                "across project() calls; this one returned different vectors "
+                "for the same input (does it resample inside project()?)")
+
         buf = None
         b = None
         norm_chunks = []

@@ -156,10 +156,12 @@ def run(arguments):
         wp = gaussian.weighted_post(mu0, Sig0inv, Siginv, pts_m, wts_m)
         muw[m] = np.asarray(wp.mu)
         Sigw[m] = np.asarray(wp.USig @ wp.USig.T)
-        rklw[m] = float(gaussian.kl_divergence(wp.mu, jnp.asarray(Sigw[m]),
-                                               jnp.asarray(mup), jnp.asarray(SigpInv)))
-        fklw[m] = float(gaussian.kl_divergence(jnp.asarray(mup), jnp.asarray(Sigp),
-                                               wp.mu, wp.LSigInv @ wp.LSigInv.T))
+        # f64 host metrics: the small-KL tail (rKL < 1e-2, where parity is
+        # judged) is corrupted by f32 trace/logdet cancellation — same fix
+        # as the linreg driver (models/gaussian.kl_divergence_np)
+        rklw[m] = float(gaussian.kl_divergence_np(muw[m], Sigw[m], mup, SigpInv))
+        fklw[m] = float(gaussian.kl_divergence_np(
+            mup, Sigp, muw[m], np.asarray(wp.LSigInv @ wp.LSigInv.T)))
         mu_errs[m] = np.linalg.norm(mup - muw[m]) / np.linalg.norm(mup)
         Sig_errs[m] = np.linalg.norm(Sigp - Sigw[m]) / np.linalg.norm(Sigp)
 

@@ -23,13 +23,39 @@ import numpy as np
 from .. import coresets as bc
 from .. import mcmc
 from ..models import logistic, poisson
-from ..models.gaussian import kl_divergence
+from ..models.gaussian import kl_divergence_np
 from ..models.laplace import laplace_approx, sample_laplace
 from ..utils import prng, set_verbosity
 from . import datasets, results
 from .cli import coreset_size_grid, make_parser, step_sched
 
 ALGS = ["SVI", "GIGA-OPT", "GIGA-REAL", "US", "BPSVI"]
+
+# convergence gate on the samples feeding the quality metrics: warn loudly
+# when any dimension's split-R-hat exceeds this (Vehtari et al. 2021
+# recommend 1.01 for production; 1.1 flags outright failures)
+RHAT_GATE = 1.1
+
+
+def full_cache_path(arguments) -> str:
+    """Full-data MCMC cache file for these arguments.
+
+    The reference keyed its cache only by (model, dataset)
+    (examples/logistic_poisson_regression/main.py:107-127), so changing the
+    sample count, chain setup, or trial silently reused stale samples.  The
+    key here covers every input that changes the cached chains.
+    """
+    tag = (f"{arguments.model}_{arguments.dataset}"
+           f"_n{arguments.mcmc_samples_full}_c{arguments.mcmc_chains}"
+           f"_a{arguments.target_accept}_t{arguments.trial}")
+    return os.path.join("mcmc_cache", f"full_samples_{tag}.npz")
+
+
+def chain_diagnostics(res) -> tuple[float, float]:
+    """(max split-R-hat over dims, min ESS over dims) for an MCMCResult."""
+    rhat = float(np.max(np.asarray(mcmc.split_rhat(res.samples))))
+    ess_v = float(np.min(np.asarray(mcmc.ess(res.samples))))
+    return rhat, ess_v
 
 
 def run(arguments):
@@ -57,23 +83,36 @@ def run(arguments):
     dth = dz if arguments.model == "lr" else dz - 1
     key = prng.fold_seed(arguments.trial)
 
-    # full-data posterior via weighted NUTS, cached (reference main.py:107-127)
-    cache = os.path.join("mcmc_cache",
-                         f"full_samples_{arguments.model}_{arguments.dataset}.npz")
+    # full-data posterior via weighted NUTS, cached (reference main.py:107-127;
+    # cache key fixed to cover sample count / chains / trial, see
+    # full_cache_path).  Chains are vmapped with pooled adaptation — the
+    # single-chain default is a TPU anti-pattern (sequential tiny ops).
+    nc = max(1, int(arguments.mcmc_chains))
+    n_full = -(-arguments.mcmc_samples_full // nc)   # kept draws per chain
+    cache = full_cache_path(arguments)
     if os.path.exists(cache):
         print("Full MCMC cache exists, loading")
         with np.load(cache) as tmp:
             full_samples = tmp["samples"]
             full_mcmc_time_per_itr = float(tmp["t"])
+            full_rhat = float(tmp["rhat"])
+            full_ess = float(tmp["ess"])
     else:
-        print("Running full-data MCMC")
+        print(f"Running full-data MCMC ({nc} chains x {n_full} draws)")
         key, kmc = jax.random.split(key)
-        full_samples, t_full, _ = mcmc.run(model, Z, jnp.ones(N),
-                                           arguments.mcmc_samples_full, kmc, d=dth)
+        full_samples, t_full, res_full = mcmc.run(
+            model, Z, jnp.ones(N), n_full, kmc, d=dth, num_chains=nc,
+            target_accept=arguments.target_accept, pooled_adaptation=nc > 1)
         full_samples = np.asarray(full_samples)
-        full_mcmc_time_per_itr = t_full / (arguments.mcmc_samples_full * 2)
+        full_rhat, full_ess = chain_diagnostics(res_full)
+        full_mcmc_time_per_itr = t_full / (nc * n_full * 2)
         os.makedirs("mcmc_cache", exist_ok=True)
-        np.savez(cache, samples=full_samples, t=full_mcmc_time_per_itr)
+        np.savez(cache, samples=full_samples, t=full_mcmc_time_per_itr,
+                 rhat=full_rhat, ess=full_ess)
+    if full_rhat > RHAT_GATE:
+        print(f"WARNING: full-data chains not converged "
+              f"(max split-R-hat {full_rhat:.3f} > {RHAT_GATE}); "
+              f"metrics below compare against unconverged samples")
 
     mup = full_samples.mean(axis=0)
     Sigp = np.cov(full_samples, rowvar=False)
@@ -147,6 +186,8 @@ def run(arguments):
     fklw = np.zeros(nM)
     mu_errs = np.zeros(nM)
     Sig_errs = np.zeros(nM)
+    rhats = np.zeros(nM)
+    esses = np.zeros(nM)
 
     # precompute full-data gradient sums over posterior samples for Fs
     # (reference main.py:226-228, vectorized instead of a python loop)
@@ -179,29 +220,41 @@ def run(arguments):
         pad = 1 << int(np.ceil(np.log2(max(pts_m.shape[0], 8))))
         pts_m = np.vstack([pts_m, np.zeros((pad - pts_m.shape[0], dz), np.float32)])
         wts_m = np.concatenate([wts_m, np.zeros(pad - wts_m.shape[0], np.float32)])
-        cst_samples, t_cst, _ = mcmc.run(model, pts_m, wts_m,
-                                         arguments.mcmc_samples_coreset, kmc, d=dth)
+        n_cst = -(-arguments.mcmc_samples_coreset // nc)
+        cst_samples, t_cst, res_cst = mcmc.run(
+            model, pts_m, wts_m, n_cst, kmc, d=dth, num_chains=nc,
+            target_accept=arguments.target_accept, pooled_adaptation=nc > 1)
         cst_samples = np.asarray(cst_samples)
+        rhats[m], esses[m] = chain_diagnostics(res_cst)
+        if rhats[m] > RHAT_GATE:
+            print(f"WARNING: coreset chains at M={Ms[m]} not converged "
+                  f"(max split-R-hat {rhats[m]:.3f} > {RHAT_GATE})")
 
         muw = cst_samples.mean(axis=0)
         Sigw = np.cov(cst_samples, rowvar=False)
 
         cputs[m] = t_alg
-        mcmc_time_per_itr[m] = t_cst / (arguments.mcmc_samples_coreset * 2)
+        mcmc_time_per_itr[m] = t_cst / (nc * n_cst * 2)
         csizes[m] = (wts_m > 0).sum()
         gcs = np.asarray(model.grad_th_log_joint(jnp.asarray(pts_m), ths,
                                                  jnp.asarray(wts_m)))
         Fs[m] = (((gcs - gfs) ** 2).sum(axis=1)).mean()
-        rklw[m] = float(kl_divergence(muw, Sigw, mup, SigpInv))
-        fklw[m] = float(kl_divergence(mup, Sigp, muw, np.linalg.inv(Sigw)))
+        # quality metrics in f64 on host: the small-KL tail (rKL < 1e-2,
+        # exactly where parity is judged) underflows in f32 trace/logdet
+        # cancellation (see models/gaussian.kl_divergence_np)
+        rklw[m] = float(kl_divergence_np(muw, Sigw, mup, SigpInv))
+        fklw[m] = float(kl_divergence_np(mup, Sigp, muw, np.linalg.inv(
+            np.asarray(Sigw, np.float64))))
         mu_errs[m] = np.linalg.norm(mup - muw) / np.linalg.norm(mup)
         Sig_errs[m] = np.linalg.norm(Sigp - Sigw) / np.linalg.norm(Sigp)
-        print(f"M = {Ms[m]}: rkl={rklw[m]:.4f} fkl={fklw[m]:.4f} Fs={Fs[m]:.3e}")
+        print(f"M = {Ms[m]}: rkl={rklw[m]:.4f} fkl={fklw[m]:.4f} Fs={Fs[m]:.3e} "
+              f"rhat={rhats[m]:.3f} minESS={esses[m]:.0f}")
 
     results.save(arguments, csizes=csizes, Ms=Ms, cputs=cputs, Fs=Fs,
                  full_mcmc_time_per_itr=np.full(nM, full_mcmc_time_per_itr),
                  mcmc_time_per_itr=mcmc_time_per_itr, rklw=rklw, fklw=fklw,
-                 mu_errs=mu_errs, Sig_errs=Sig_errs)
+                 mu_errs=mu_errs, Sig_errs=Sig_errs, rhats=rhats, esses=esses,
+                 full_rhat=np.full(nM, full_rhat), full_ess=np.full(nM, full_ess))
 
 
 def main(argv=None):
@@ -213,6 +266,11 @@ def main(argv=None):
     parser.add_argument("--alg", type=str, default="GIGA-OPT", choices=ALGS)
     parser.add_argument("--mcmc_samples_full", type=int, default=10000)
     parser.add_argument("--mcmc_samples_coreset", type=int, default=10000)
+    parser.add_argument("--mcmc_chains", type=int, default=8,
+                        help="vmapped NUTS chains (pooled adaptation when >1); "
+                             "chain parallelism is the TPU throughput lever")
+    parser.add_argument("--target_accept", type=float, default=0.9,
+                        help="NUTS acceptance target (Stan adapt_delta)")
     parser.add_argument("--proj_dim", type=int, default=500)
     parser.add_argument("--fs_samples", type=int, default=1000,
                         help="posterior samples used for the Fs metric")

@@ -58,7 +58,7 @@ def laplace_init(model, z, wts, num_chains: int, key, d: int):
 
 def run(model, z, wts, n_samples: int, key, d: int | None = None,
         num_chains: int = 1, max_depth: int = 10, target_accept: float = 0.9,
-        init: jax.Array | None = None):
+        init: jax.Array | None = None, pooled_adaptation: bool = False):
     """Weighted-posterior NUTS with the reference driver's conventions.
 
     Mirrors ``mcmc.run(...) -> (samples, t_sample)`` (reference
@@ -79,7 +79,8 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
     t0 = time.perf_counter()
     res: MCMCResult = run_nuts(logdensity, init, key, num_warmup=n_samples,
                                num_samples=n_samples, max_depth=max_depth,
-                               target_accept=target_accept)
+                               target_accept=target_accept,
+                               pooled_adaptation=pooled_adaptation)
     jax.block_until_ready(res.samples)
     t = time.perf_counter() - t0
     samples = res.samples.reshape(-1, d)

@@ -213,9 +213,10 @@ def _v_matvec(consts: SNNLSConsts, w: jax.Array, support: int = 1024) -> jax.Arr
     In int8-resident mode the weight vector's support (w >= 0 always, so the
     nonzeros ARE the top-k) is gathered and only those rows are dequantized:
     O(support*S) work, never an f32 (n, S).  ``support`` must upper-bound
-    nnz(w) — the solvers' active support is capped by ``max_active`` (exact
-    for OMP/optimize; for long GIGA/FW/sampling builds choose
-    max_active >= the number of distinct atoms ever selected).
+    nnz(w); the build loop ENFORCES nnz(w) <= max_active by refusing any
+    step that would select a (max_active+1)-th distinct atom and latching
+    ``done`` (see _track_support), so passing support=max_active is always
+    exact for solver-produced weights.
     """
     if not _is_quantized(consts):
         return jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
@@ -304,17 +305,22 @@ def _track_support(state: SNNLSState, f):
     Every solver tracks its support when slots exist (state.idcs non-empty):
     in int8-resident mode the cached-matvec refresh gathers EXACTLY these
     rows instead of sorting the n-element weight vector.  Slots are capped at
-    max_active; a build selecting more distinct atoms than that overwrites
-    the last slot (choose max_active accordingly).
+    ``max_active``; selecting MORE distinct atoms than that is a capacity
+    overflow, returned as the third element so the build loop can refuse the
+    step and latch ``done`` (numeric-limit semantics) — the tracked support,
+    and therefore ``error()``/matvec refreshes, must never silently drop a
+    live atom (the reference's never-return-wrong-numbers discipline,
+    snnls/snnls.py:63-74).
     """
     K = state.idcs.shape[0]
     if K == 0:
-        return state.idcs, state.size
+        return state.idcs, state.size, jnp.array(False)
     already = jnp.any((state.idcs == f) & (jnp.arange(K) < state.size))
+    overflow = ~already & (state.size >= K)
     slot = jnp.minimum(state.size, K - 1)
-    idcs = jnp.where(already, state.idcs, state.idcs.at[slot].set(f))
-    size = jnp.where(already, state.size, jnp.minimum(state.size + 1, K))
-    return idcs, size
+    idcs = jnp.where(already | overflow, state.idcs, state.idcs.at[slot].set(f))
+    size = jnp.where(already | overflow, state.size, state.size + 1)
+    return idcs, size, overflow
 
 
 def _support_matvec(consts: SNNLSConsts, w, idcs, size):
@@ -396,8 +402,8 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol, use_pallas: bool = F
     alpha, beta = a * scale, c * scale
 
     w, xw = _rank1_update(state, consts, f, alpha, beta)
-    idcs, size = _track_support(state, f)
-    return w, xw, state.cts, idcs, size, state.key, ok_sel & ok_rw
+    idcs, size, overflow = _track_support(state, f)
+    return w, xw, state.cts, idcs, size, state.key, ok_sel & ok_rw, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -427,8 +433,8 @@ def _fw_step(consts: SNNLSConsts, state: SNNLSState, tol):
     ok = ok | size_zero                              # first-point vertex init
 
     w, xw = _rank1_update(state, consts, f, alpha, beta)
-    idcs, size = _track_support(state, f)
-    return w, xw, state.cts, idcs, size, state.key, ok
+    idcs, size, overflow = _track_support(state, f)
+    return w, xw, state.cts, idcs, size, state.key, ok, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -448,7 +454,7 @@ def _omp_step(consts: SNNLSConsts, state: SNNLSState, tol, nnls_iters: int = 256
     f = jnp.where(~any_active | (pos_dots[fpos] >= neg_dots[fneg]), fpos, fneg)
 
     # append f to active slots if new (static-size bookkeeping)
-    idcs, size = _track_support(state, f)
+    idcs, size, overflow = _track_support(state, f)
 
     # full NNLS on the active set (orthopursuit.py:37-41), small gathered
     # system, warm-started from the current weights (fewer FISTA iterations
@@ -460,7 +466,7 @@ def _omp_step(consts: SNNLSConsts, state: SNNLSState, tol, nnls_iters: int = 256
     w_act = nnls_rows(Aact, consts.b, mask0, num_iters=nnls_iters, x0=x0)
     w = jnp.zeros_like(state.w).at[idcs].add(jnp.where(mask0, w_act, 0.0))
     xw = jnp.dot(w_act, Aact, preferred_element_type=jnp.float32)  # exact: support == active slots
-    return w, xw, state.cts, idcs, size, state.key, jnp.array(True)
+    return w, xw, state.cts, idcs, size, state.key, jnp.array(True), overflow
 
 
 # ---------------------------------------------------------------------------
@@ -468,18 +474,28 @@ def _omp_step(consts: SNNLSConsts, state: SNNLSState, tol, nnls_iters: int = 256
 # ---------------------------------------------------------------------------
 
 def _sampling_step(consts: SNNLSConsts, state: SNNLSState, tol, matvec_k: int = 1024):
+    """One categorical draw (sampling.py:6-37) with an O(S) cache update.
+
+    The weight map w_i = (cts_i / T) / ps_i changes at ONE index per draw up
+    to the global rescale T -> T+1, so the cached image updates as
+    ``xw <- (T/(T+1)) * xw + V[f] / ((T+1) * ps_f)`` — O(S) instead of the
+    reference's O(n*S) per-draw matvec.  The weights themselves are still
+    recomputed exactly from the counts (O(n) elementwise, no drift); the
+    build loop's periodic exact refresh bounds the f32 drift in xw.
+    """
     key, sub = jax.random.split(state.key)
     logp = jnp.where(consts.ps > 0, jnp.log(jnp.where(consts.ps > 0, consts.ps, 1.0)),
                      _NEG_INF)
     f = jax.random.categorical(sub, logp)
     cts = state.cts.at[f].add(1.0)
-    w = jnp.where(consts.ps > 0, (cts / jnp.sum(cts)) / jnp.where(consts.ps > 0, consts.ps, 1.0), 0.0)
-    idcs, size = _track_support(state, f)
-    if _is_quantized(consts) and idcs.shape[0]:
-        xw = _support_matvec(consts, w, idcs, size)
-    else:
-        xw = _v_matvec(consts, w, support=matvec_k)
-    return w, xw, cts, idcs, size, key, jnp.array(True)
+    T_old = jnp.sum(state.cts)
+    T_new = T_old + 1.0
+    w = jnp.where(consts.ps > 0, (cts / T_new) / jnp.where(consts.ps > 0, consts.ps, 1.0), 0.0)
+    alpha = T_old / T_new
+    beta = 1.0 / (T_new * jnp.maximum(consts.ps[f], 1e-30))
+    xw = alpha * state.xw + beta * _v_row(consts, f)
+    idcs, size, overflow = _track_support(state, f)
+    return w, xw, cts, idcs, size, key, jnp.array(True), overflow
 
 
 _STEP_FNS = {
@@ -515,8 +531,6 @@ def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga
     """
     if use_pallas and method == "giga":
         step_fn = partial(_giga_step, use_pallas=True)
-    elif method in ("importance", "uniform"):
-        step_fn = partial(_sampling_step, matvec_k=matvec_k)
     else:
         step_fn = _STEP_FNS[method]
     check_monotone = _CHECK_MONOTONE[method]
@@ -539,7 +553,7 @@ def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga
         size_nonzero = jnp.any(s.w > 0)
         prev_err = _cached_error(consts, s.xw)
 
-        w2, xw2, cts2, idcs2, size2, key2, ok = step_fn(consts, s, tol)
+        w2, xw2, cts2, idcs2, size2, key2, ok, overflow = step_fn(consts, s, tol)
 
         if check_monotone:
             new_err = _cached_error(consts, xw2)
@@ -549,8 +563,10 @@ def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga
             ok = ok & monotone_ok & jnp.isfinite(new_err)
 
         fail = jnp.where(ok, 0, s.fail + 1)
-        done = fail >= 2                             # retry-once-then-latch
-        commit = ok
+        # retry-once-then-latch; a support-capacity overflow latches
+        # immediately (the step is refused, never silently mis-tracked)
+        done = (fail >= 2) | overflow
+        commit = ok & ~overflow
 
         return SNNLSState(
             w=jnp.where(commit, w2, s.w),
@@ -731,7 +747,11 @@ class SparseNNLS:
             w_new = np.zeros_like(w)
             w_new[act] = x.astype(w.dtype)
             cand = self.state._replace(w=jnp.asarray(w_new))
-            new_err = float(error(self.consts, cand.w))
+            # same support bound as prev_err = self.error(): a mismatched
+            # default here would make the rollback comparison inconsistent
+            # for quantized consts with max_active != the default
+            new_err = float(error(self.consts, cand.w,
+                                  support=max(self._max_active, act.size)))
             if new_err > prev_err * (1.0 + config.TOL):
                 self.state = self.state._replace(done=jnp.array(True))
             else:

@@ -119,3 +119,56 @@ class TestDrivers:
         assert np.isfinite(kl)
         assert kl < 5.0
         assert coreset.size() <= 50
+
+
+class TestLogisticPoissonDriver:
+    def _tiny_lr(self, monkeypatch, n=120, d=3):
+        """Monkeypatch the dataset loader: tiny synthetic logistic data."""
+        from bayesian_coresets_tpu.experiments import datasets
+
+        rng = np.random.default_rng(0)
+        X = np.hstack([rng.normal(size=(n, d - 1)), np.ones((n, 1))])
+        th = np.ones(d)
+        Y = np.where(rng.uniform(size=n) < 1 / (1 + np.exp(-X @ th)), 1.0, -1.0)
+        Z = (Y[:, None] * X).astype(np.float32)
+        monkeypatch.setattr(datasets, "load_logistic",
+                            lambda name: (X.astype(np.float32), Y, Z, None, d))
+
+    def _argv(self, **kw):
+        base = {"model": "lr", "dataset": "synth_lr", "alg": "GIGA-OPT",
+                "trial": 1, "mcmc_samples_full": 32, "mcmc_samples_coreset": 32,
+                "mcmc_chains": 2, "proj_dim": 32, "coreset_size_max": 16,
+                "coreset_num_sizes": 2, "fs_samples": 16}
+        base.update(kw)
+        return ["run"] + [x for k, v in base.items()
+                          for x in (f"--{k}", str(v))]
+
+    def test_cache_key_covers_mcmc_settings(self):
+        from bayesian_coresets_tpu.experiments.logistic_poisson import full_cache_path
+        base = argparse.Namespace(model="lr", dataset="synth_lr",
+                                  mcmc_samples_full=1000, mcmc_chains=8,
+                                  target_accept=0.9, trial=1)
+        p0 = full_cache_path(base)
+        for field, val in [("mcmc_samples_full", 2000), ("mcmc_chains", 4),
+                           ("target_accept", 0.8), ("trial", 2),
+                           ("dataset", "phishing")]:
+            ns = argparse.Namespace(**{**vars(base), field: val})
+            assert full_cache_path(ns) != p0, field
+
+    def test_driver_end_to_end_and_cache_rerun(self, workdir, monkeypatch):
+        from bayesian_coresets_tpu.experiments import logistic_poisson as LP
+        self._tiny_lr(monkeypatch)
+        LP.main(self._argv())
+        df = results.load_matching({"alg": "GIGA-OPT", "results_folder": "results/"})
+        # diagnostics columns recorded; metrics finite; rKL improves with M
+        for col in ("rhats", "esses", "full_rhat", "full_ess"):
+            assert col in df.columns and np.isfinite(df[col]).all()
+        rkl = df["rklw"].to_numpy()
+        assert np.isfinite(rkl).all()
+        caches = sorted(os.listdir("mcmc_cache"))
+        assert len(caches) == 1
+        # changing the full-data sample count MUST trigger a fresh MCMC run
+        # (the reference's cache silently reused stale samples here)
+        LP.main(self._argv(mcmc_samples_full=48))
+        caches2 = sorted(os.listdir("mcmc_cache"))
+        assert len(caches2) == 2 and caches[0] in caches2

@@ -314,3 +314,82 @@ def test_quantized_optimize_paths(rng):
     alg2.build(40)
     alg2.optimize(solver="exact")       # native LH on dequantized gather
     assert alg2.error() <= e_before * (1.0 + 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# max_active support-capacity invariant: overflow must latch, never corrupt
+# ---------------------------------------------------------------------------
+
+def _axis_problem(S=16):
+    # identity columns: every greedy iteration must select a NEW atom
+    A = np.eye(S, dtype=np.float32)
+    b = A.sum(axis=1)
+    return A, b
+
+
+def test_support_overflow_latches_f32():
+    A, b = _axis_problem(S=16)
+    alg = GIGA(A, b, max_active=4)
+    alg.build(16)
+    # exactly max_active distinct atoms committed, then the latch fires
+    assert alg.reached_numeric_limit
+    w = alg.weights()
+    assert (w > 0).sum() <= 4
+    # error() reflects the committed weights exactly (nothing silently dropped)
+    want = np.linalg.norm(A @ w - b)
+    np.testing.assert_allclose(alg.error(), want, rtol=1e-5, atol=1e-6)
+    # further builds are no-ops once latched (reference snnls.py:33-35)
+    alg.build(10)
+    np.testing.assert_array_equal(alg.weights(), w)
+
+
+def test_support_overflow_latches_int8_resident(rng):
+    from bayesian_coresets_tpu.ops import make_consts_quantized
+    A, b = _axis_problem(S=16)
+    Vq, norms = _quantize_rows(A)
+    consts = make_consts_quantized(jnp.asarray(Vq), jnp.asarray(norms), jnp.asarray(b))
+    alg = GIGA.from_consts(consts, max_active=4)
+    alg.build(16)
+    assert alg.reached_numeric_limit
+    w = alg.weights()
+    assert (w > 0).sum() <= 4
+    # error(support=max_active) must match the dense dequantized residual:
+    # the tracked support covers every live atom, or the latch fired first
+    Vdeq = Vq.astype(np.float64) * (norms[:, None] / 127.0)
+    want = np.linalg.norm(Vdeq.T @ w[:16] - np.asarray(b, np.float64))
+    np.testing.assert_allclose(alg.error(), want, rtol=1e-4, atol=1e-4)
+
+
+def test_support_overflow_latches_sampling(rng):
+    # uniform draws keep hitting new atoms; the 9th distinct atom must latch
+    A, b = _problem(rng, S=12, n=64)
+    alg = UniformSampling(A, b, max_active=8)
+    alg.build(2000)
+    assert alg.reached_numeric_limit
+    w = alg.weights()
+    assert 0 < (w > 0).sum() <= 8
+    want = np.linalg.norm(np.asarray(A, np.float64) @ w - np.asarray(b, np.float64))
+    np.testing.assert_allclose(alg.error(), want, rtol=1e-3, atol=1e-4)
+
+
+def test_no_overflow_below_capacity():
+    # same axis problem with enough slots: all 16 atoms commit with no
+    # overflow latch (building further would hit the ORDINARY numeric-limit
+    # latch once b is exactly represented, which is correct and separate)
+    A, b = _axis_problem(S=16)
+    alg = GIGA(A, b, max_active=16)
+    alg.build(16)
+    assert not alg.reached_numeric_limit
+    assert (alg.weights() > 0).sum() == 16
+    assert alg.error() < 1e-3 * np.linalg.norm(b)
+
+
+def test_sampling_rank1_cache_matches_exact_matvec(rng):
+    # the O(S) incremental xw update must track the exact V^T w image
+    from bayesian_coresets_tpu.ops.snnls import error as snnls_error
+    A, b = _problem(rng, S=20, n=100)
+    alg = ImportanceSampling(A, b, max_active=100)
+    alg.build(777)   # not a multiple of the refresh cadence
+    w = alg.weights()
+    want = np.linalg.norm(np.asarray(A, np.float64) @ w - np.asarray(b, np.float64))
+    np.testing.assert_allclose(alg.error(), want, rtol=1e-4, atol=1e-4)
