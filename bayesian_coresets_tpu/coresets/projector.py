@@ -40,11 +40,22 @@ import jax.numpy as jnp
 
 
 class TangentFamily(NamedTuple):
-    """Pure-function projector protocol for the jitted coreset cores."""
+    """Pure-function projector protocol for the jitted coreset cores.
+
+    The optional WARM pair lets context rebuilds carry state between calls
+    within one build loop — e.g. the previous Laplace mode, so each of
+    SparseVI's per-Adam-step posterior refits (reference sparsevi.py:70-76)
+    is a short Newton track of a slowly-moving optimum instead of a full
+    solve from scratch.  ``init_carry(wts, pts)`` must return a FULLY
+    CONVERGED carry for the current coreset (it runs once per ``build()``
+    entry); ``make_ctx_warm`` then refreshes cheaply per step.
+    """
 
     make_ctx: Callable                 # (key, wts, pts) -> ctx pytree
     project: Callable                  # (ctx, query_pts) -> (q, S) centered
     project_grad: Optional[Callable] = None   # (ctx, query_pts) -> (q, S, d)
+    make_ctx_warm: Optional[Callable] = None  # (key, wts, pts, carry) -> (ctx, carry)
+    init_carry: Optional[Callable] = None     # (wts, pts) -> carry pytree
 
 
 def center_lls(lls: jax.Array) -> jax.Array:
@@ -58,9 +69,15 @@ def center_glls(glls: jax.Array) -> jax.Array:
 
 
 def blackbox_family(sampler, projection_dimension: int, loglikelihood,
-                    grad_loglikelihood=None) -> TangentFamily:
+                    grad_loglikelihood=None, warm_sampler=None,
+                    init_carry=None) -> TangentFamily:
     """TangentFamily from a posterior sampler + log-likelihood
-    (the functional core of the reference's BlackBoxProjector)."""
+    (the functional core of the reference's BlackBoxProjector).
+
+    ``warm_sampler(key, n, wts, pts, carry) -> (samples, carry)`` plus
+    ``init_carry(wts, pts) -> carry`` enable carried-state context rebuilds
+    (e.g. Laplace-mode warm starts; see TangentFamily).
+    """
 
     def make_ctx(key, wts, pts):
         return sampler(key, projection_dimension, wts, pts)
@@ -73,7 +90,16 @@ def blackbox_family(sampler, projection_dimension: int, loglikelihood,
         def project_grad(ctx, pts):  # noqa: F811
             return center_glls(grad_loglikelihood(pts, ctx))
 
-    return TangentFamily(make_ctx, project, project_grad)
+    make_ctx_warm = None
+    if warm_sampler is not None:
+        if init_carry is None:
+            raise ValueError("warm_sampler requires init_carry")
+
+        def make_ctx_warm(key, wts, pts, carry):  # noqa: F811
+            return warm_sampler(key, projection_dimension, wts, pts, carry)
+
+    return TangentFamily(make_ctx, project, project_grad, make_ctx_warm,
+                         init_carry)
 
 
 @partial(jax.jit, static_argnames=("family", "grad"))
@@ -128,10 +154,13 @@ class BlackBoxProjector(FamilyProjector):
     """
 
     def __init__(self, sampler, projection_dimension: int, loglikelihood,
-                 grad_loglikelihood=None, key: jax.Array | None = None):
+                 grad_loglikelihood=None, key: jax.Array | None = None,
+                 warm_sampler=None, init_carry=None):
         self.projection_dimension = int(projection_dimension)
         family = blackbox_family(sampler, self.projection_dimension,
-                                 loglikelihood, grad_loglikelihood)
+                                 loglikelihood, grad_loglikelihood,
+                                 warm_sampler=warm_sampler,
+                                 init_carry=init_carry)
         super().__init__(family, key=key)
 
     @property

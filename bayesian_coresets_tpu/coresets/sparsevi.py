@@ -45,16 +45,31 @@ def _gather_pts(data, idcs):
     return data[jnp.clip(idcs, 0, data.shape[0] - 1)]
 
 
+def _init_carry(data, family: TangentFamily, wts, idcs, size):
+    """Carried context state at build entry: fully converged for the current
+    coreset (see TangentFamily.init_carry); a dummy for cold families."""
+    if family.init_carry is None:
+        return jnp.zeros((0,), data.dtype)
+    mask = jnp.arange(wts.shape[0]) < size
+    return family.init_carry(jnp.where(mask, wts, 0.0), _gather_pts(data, idcs))
+
+
 def _projections(data, family: TangentFamily, key, w, idcs, size, n_sub,
-                 grad: bool = False):
+                 carry, grad: bool = False):
     """Reference _get_projection (sparsevi.py:23-42): rebuild the context,
-    project a (sub)sample of the data and the current coreset points."""
+    project a (sub)sample of the data and the current coreset points.
+
+    ``carry`` threads warm-start state (e.g. the previous Laplace mode)
+    between context rebuilds when the family supports it."""
     n = data.shape[0]
     Mmax = w.shape[0]
     mask = jnp.arange(Mmax) < size
     pts = _gather_pts(data, idcs)
     k1, k2 = jax.random.split(key)
-    ctx = family.make_ctx(k1, jnp.where(mask, w, 0.0), pts)
+    if family.make_ctx_warm is not None:
+        ctx, carry = family.make_ctx_warm(k1, jnp.where(mask, w, 0.0), pts, carry)
+    else:
+        ctx = family.make_ctx(k1, jnp.where(mask, w, 0.0), pts)
     if n_sub is None:
         sub_idcs = None
         vecs = family.project(ctx, data)
@@ -65,13 +80,13 @@ def _projections(data, family: TangentFamily, key, w, idcs, size, n_sub,
         scale = n / n_sub
     corevecs = family.project(ctx, pts)
     pgrads = family.project_grad(ctx, pts) if grad else None
-    return vecs, scale, sub_idcs, corevecs, pgrads, mask
+    return vecs, scale, sub_idcs, corevecs, pgrads, mask, carry
 
 
-def _select(data, family, key, wts, idcs, size, n_sub_sel):
+def _select(data, family, key, wts, idcs, size, n_sub_sel, carry):
     """Greedy residual-correlation selection (reference sparsevi.py:44-67)."""
-    vecs, scale, sub_idcs, corevecs, _, mask = _projections(
-        data, family, key, wts, idcs, size, n_sub_sel)
+    vecs, scale, sub_idcs, corevecs, _, mask, carry = _projections(
+        data, family, key, wts, idcs, size, n_sub_sel, carry)
     S = vecs.shape[1]
     Mmax = wts.shape[0]
     wmask = jnp.where(mask, wts, 0.0)
@@ -94,24 +109,26 @@ def _select(data, family, key, wts, idcs, size, n_sub_sel):
     slot = jnp.minimum(size, Mmax - 1)
     idcs = jnp.where(add, idcs.at[slot].set(f), idcs)
     wts = jnp.where(add, wts.at[slot].set(0.0), wts)
-    return wts, idcs, size + add.astype(size.dtype)
+    return wts, idcs, size + add.astype(size.dtype), carry
 
 
-def _optimize(data, family, key, wts, idcs, size, n_sub_opt, opt_itrs, step_sched):
+def _optimize(data, family, key, wts, idcs, size, n_sub_opt, opt_itrs,
+              step_sched, carry):
     """Re-solve all active weights; each Adam step rebuilds the context
-    (reference sparsevi.py:69-76)."""
+    (reference sparsevi.py:69-76), warm-starting from the carried state."""
     Mmax = wts.shape[0]
     mask = jnp.arange(Mmax) < size
 
-    def grad_fn(w, k):
-        vecs, scale, _, corevecs, _, _ = _projections(
-            data, family, k, w, idcs, size, n_sub_opt)
+    def grad_fn(w, k, carry):
+        vecs, scale, _, corevecs, _, _, carry = _projections(
+            data, family, k, w, idcs, size, n_sub_opt, carry)
         resid = scale * jnp.sum(vecs, axis=0) - (jnp.where(mask, w, 0.0)) @ corevecs
         g = -(corevecs @ resid) / vecs.shape[1]
-        return jnp.where(mask, g, 0.0)
+        return jnp.where(mask, g, 0.0), carry
 
-    w = nn_opt(wts, grad_fn, key, nn_mask=None, opt_itrs=opt_itrs, step_sched=step_sched)
-    return jnp.where(mask, w, 0.0)
+    w, carry = nn_opt(wts, grad_fn, key, nn_mask=None, opt_itrs=opt_itrs,
+                      step_sched=step_sched, aux0=carry)
+    return jnp.where(mask, w, 0.0), carry
 
 
 @partial(jax.jit, static_argnames=("family", "n_sub_sel", "n_sub_opt",
@@ -120,19 +137,20 @@ def svi_build(data, wts, idcs, size, key, itrs, *, family: TangentFamily,
               n_sub_sel, n_sub_opt, opt_itrs: int, step_sched):
     """Run ``itrs`` select+optimize rounds inside one compiled while_loop."""
 
-    def cond(carry):
-        _, _, _, _, i = carry
-        return i < itrs
+    def cond(state):
+        return state[-1] < itrs
 
-    def body(carry):
-        w, ix, sz, k, i = carry
+    def body(state):
+        w, ix, sz, k, carry, i = state
         k, k1, k2 = jax.random.split(k, 3)
-        w, ix, sz = _select(data, family, k1, w, ix, sz, n_sub_sel)
-        w = _optimize(data, family, k2, w, ix, sz, n_sub_opt, opt_itrs, step_sched)
-        return (w, ix, sz, k, i + 1)
+        w, ix, sz, carry = _select(data, family, k1, w, ix, sz, n_sub_sel, carry)
+        w, carry = _optimize(data, family, k2, w, ix, sz, n_sub_opt, opt_itrs,
+                             step_sched, carry)
+        return (w, ix, sz, k, carry, i + 1)
 
-    wts, idcs, size, key, _ = jax.lax.while_loop(
-        cond, body, (wts, idcs, size, key, jnp.int32(0)))
+    carry0 = _init_carry(data, family, wts, idcs, size)
+    wts, idcs, size, key, _, _ = jax.lax.while_loop(
+        cond, body, (wts, idcs, size, key, carry0, jnp.int32(0)))
     return wts, idcs, size, key
 
 
@@ -140,7 +158,9 @@ def svi_build(data, wts, idcs, size, key, itrs, *, family: TangentFamily,
 def svi_optimize(data, wts, idcs, size, key, *, family, n_sub_opt,
                  opt_itrs, step_sched):
     key, k = jax.random.split(key)
-    wts = _optimize(data, family, k, wts, idcs, size, n_sub_opt, opt_itrs, step_sched)
+    carry = _init_carry(data, family, wts, idcs, size)
+    wts, _ = _optimize(data, family, k, wts, idcs, size, n_sub_opt, opt_itrs,
+                       step_sched, carry)
     return wts, key
 
 
@@ -151,8 +171,9 @@ def svi_error(data, wts, idcs, size, key, *, family, n_sub):
     posterior — the quantity SparseVI's selection/optimization drives to
     zero.  (The reference's error() is an unimplemented TODO returning 0,
     sparsevi.py:78; this estimator is the natural computable extension.)"""
-    vecs, scale, _, corevecs, _, mask = _projections(
-        data, family, key, wts, idcs, size, n_sub)
+    carry = _init_carry(data, family, wts, idcs, size)
+    vecs, scale, _, corevecs, _, mask, _ = _projections(
+        data, family, key, wts, idcs, size, n_sub, carry)
     resid = scale * jnp.sum(vecs, axis=0) - jnp.where(mask, wts, 0.0) @ corevecs
     return jnp.sqrt(jnp.sum(resid * resid) / vecs.shape[1])
 

@@ -147,6 +147,29 @@ def run(arguments):
         eps = jax.random.normal(k, (n, dth), lap.mu.dtype)
         return lap.mu + eps @ lap.USig.T
 
+    # warm-start variant for the SparseVI inner loop: each of the opt_itrs
+    # Adam steps refits the Laplace approximation, but weights move little
+    # per step, so Newton from the carried previous mode needs ~3 damped
+    # iterations instead of 20 from zero (quadratic convergence tracking a
+    # slowly-moving optimum).  init_carry (run once per build entry) does
+    # the full-depth solve.
+    def init_carry_bb(w, p):
+        if p.size == 0:
+            return jnp.zeros(dth)
+        lap = laplace_approx(p, w, jnp.zeros(dth),
+                             grad_fn=model.grad_th_log_joint,
+                             hess_fn=model.hess_th_log_joint, num_iters=25)
+        return lap.mu
+
+    def sampler_bb_warm(k, n, w, p, mode):
+        if p.size == 0:
+            return jax.random.normal(k, (n, dth)), mode
+        lap = laplace_approx(p, w, mode,
+                             grad_fn=model.grad_th_log_joint,
+                             hess_fn=model.hess_th_log_joint, num_iters=3)
+        eps = jax.random.normal(k, (n, dth), lap.mu.dtype)
+        return lap.mu + eps @ lap.USig.T, lap.mu
+
     sched = step_sched(arguments.step_sched)
     seed = arguments.trial
 
@@ -154,7 +177,9 @@ def run(arguments):
         if name == "SVI":
             return bc.SparseVICoreset(
                 Z, bc.BlackBoxProjector(sampler_bb, S, model.log_likelihood,
-                                        model.grad_z_log_likelihood),
+                                        model.grad_z_log_likelihood,
+                                        warm_sampler=sampler_bb_warm,
+                                        init_carry=init_carry_bb),
                 opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed,
                 capacity=int(arguments.coreset_size_max))
         sd = {"f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8}[arguments.select_dtype]

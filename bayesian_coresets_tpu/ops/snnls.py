@@ -346,16 +346,46 @@ def _rank1_update(state: SNNLSState, consts: SNNLSConsts, f, alpha, beta):
 # GIGA — greedy iterative geodesic ascent (reference snnls/giga.py:6-64)
 # ---------------------------------------------------------------------------
 
-def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol, use_pallas: bool = False):
-    bn = _safe_div(consts.b, consts.bnorm)
-    xwn, _ = _normalize(state.xw)
+class GigaAux(NamedTuple):
+    """Scalar cache carried across GIGA iterations.
 
-    cdir = bn - jnp.dot(bn, xwn) * xwn
-    cdirnrm = jnp.sqrt(jnp.sum(cdir * cdir))
-    ok_sel = cdirnrm >= tol                         # giga.py:27-29
-    cdirn = _safe_div(cdir, cdirnrm)
+    All of the reweight algebra (giga.py:40-64) and the monotonicity check
+    reduce to scalar functions of (b.xw, |xw|^2, a few per-atom dots), so
+    carrying these between iterations removes nearly every O(S)/O(n)
+    reduction from the hot loop — the per-iteration cost collapses to the
+    unavoidable select matmul (one streaming pass over V), one row gather,
+    one thin (2,S)@(S,) matvec, one exact error reduction, and fused
+    elementwise updates.  The cache is recomputed EXACTLY at every
+    ``REFRESH_EVERY`` matvec refresh, bounding f32 recursion drift.
+    """
 
-    dirs = jnp.stack([cdirn, xwn], axis=1)          # (S, 2), unit columns
+    bxw: jax.Array   # b . xw
+    nw2: jax.Array   # xw . xw
+    err: jax.Array   # ||xw - b||  (exact; carried to avoid the b-scale
+    #                  cancellation of err^2 = nw2 - 2 bxw + ||b||^2)
+
+
+def _aux_from_xw(consts: SNNLSConsts, xw: jax.Array) -> GigaAux:
+    return GigaAux(jnp.dot(consts.b, xw), jnp.dot(xw, xw),
+                   _cached_error(consts, xw))
+
+
+def _giga_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
+               use_pallas: bool = False):
+    bnorm = jnp.where(consts.bnorm == 0, 1.0, consts.bnorm)
+    bn = consts.b / bnorm                            # loop-invariant
+    nw = jnp.sqrt(jnp.maximum(aux.nw2, 0.0))
+    nw_safe = jnp.where(nw == 0, 1.0, nw)            # _normalize semantics
+    xwn = state.xw / nw_safe
+    bxwn = aux.bxw / (bnorm * nw_safe)               # <bn, xwn>
+
+    # cdir = bn - <bn,xwn> xwn has ||cdir||^2 = 1 - <bn,xwn>^2 exactly
+    cdir = bn - bxwn * xwn
+    cdirnrm = jnp.sqrt(jnp.maximum(1.0 - bxwn * bxwn, 0.0))
+    ok_sel = cdirnrm >= tol                          # giga.py:27-29
+    cdirn = cdir / jnp.where(cdirnrm == 0, 1.0, cdirnrm)
+
+    dirs = jnp.stack([cdirn, xwn], axis=1)           # (S, 2), unit columns
     if use_pallas:
         # fused scores+argmax in one streaming pass (ops/pallas_kernels.py)
         from .pallas_kernels import giga_select_pallas
@@ -372,7 +402,7 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol, use_pallas: bool = F
         f, _ = giga_select_pallas(Vsel, dirs, nrminv, bias)
     else:
         # scores for every candidate: one thin matmul (n,S)@(S,2)
-        dots = _select_dots(consts, dirs)           # == An^T [cdir, xw]
+        dots = _select_dots(consts, dirs)            # == An^T [cdir, xw]
         d1 = dots[:, 1]
         geo_ok = (d1 > -1.0 + 1e-14) & (1.0 - d1 * d1 > 0.0)   # giga.py:33
         denom = jnp.sqrt(jnp.clip(1.0 - d1 * d1, 1e-30, None))
@@ -380,37 +410,49 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, tol, use_pallas: bool = F
         score = jnp.where(consts.valid, score, _NEG_INF)
         f = jnp.argmax(score)
 
-    # reweight (giga.py:40-64), O(S) via cached xw
+    # reweight (giga.py:40-64): one row gather + one (2,S) matvec + scalars
     xf = _v_row(consts, f)
     nf = consts.norms[f]
     xfn = xf / nf
-    bxw = jnp.dot(bn, xwn)
-    bxf = jnp.dot(bn, xfn)
-    xwxf = jnp.dot(xwn, xfn)
-    gA = bxf - bxw * xwxf
-    gB = bxw - bxf * xwxf
-    ok_rw = (gA > 0.0) & (gB >= 0.0)                # giga.py:50-51
+    two = jnp.dot(jnp.stack([bn, xwn], axis=0), xfn,
+                  preferred_element_type=jnp.float32)
+    bxf, xwxf = two[0], two[1]                       # <bn,xfn>, <xwn,xfn>
+    gA = bxf - bxwn * xwxf
+    gB = bxwn - bxf * xwxf
+    ok_rw = (gA > 0.0) & (gB >= 0.0)                 # giga.py:50-51
 
     gsum = jnp.where(gA + gB == 0, 1.0, gA + gB)
-    _, nw = _normalize(state.xw)
-    a = gB / gsum / nw
+    a = gB / gsum / nw_safe
     c = gA / gsum / nf
-    x = a * state.xw + c * xf
-    xn, _ = _normalize(x)
-    nx = jnp.sqrt(jnp.sum(x * x))
-    scale = _safe_div(consts.bnorm, nx) * jnp.dot(xn, bn)
+    # x = a*xw + c*xf never materializes: with xw.xf = nf*nw*<xwn,xfn> and
+    # b.xf = bnorm*nf*<bn,xfn>, the optimal scaling (giga.py:56-60)
+    # scale = bnorm/||x|| * <x/||x||, bn> = (x.b) / ||x||^2 is all scalars
+    xw_xf = nw_safe * nf * xwxf
+    b_xf = bnorm * nf * bxf
+    nx2 = a * a * aux.nw2 + 2.0 * a * c * xw_xf + c * c * nf * nf
+    x_b = a * aux.bxw + c * b_xf
+    scale = x_b / jnp.where(nx2 == 0, 1.0, nx2)
     alpha, beta = a * scale, c * scale
 
-    w, xw = _rank1_update(state, consts, f, alpha, beta)
+    old_wf = state.w[f]
+    new_wf = jnp.maximum(0.0, alpha * old_wf + beta)
+    delta = new_wf - alpha * old_wf
+    w = (alpha * state.w).at[f].set(new_wf)
+    xw = alpha * state.xw + delta * xf
+    # the cache is recomputed EXACTLY from the new xw (a pure function, so
+    # incremental builds bit-match one-shot builds); the measured cost of
+    # these O(S) reductions is negligible next to the select matmul
+    aux2 = _aux_from_xw(consts, xw)
     idcs, size, overflow = _track_support(state, f)
-    return w, xw, state.cts, idcs, size, state.key, ok_sel & ok_rw, overflow
+    return (w, xw, state.cts, idcs, size, state.key, ok_sel & ok_rw,
+            overflow, aux2)
 
 
 # ---------------------------------------------------------------------------
 # Frank-Wolfe (reference snnls/frankwolfe.py:5-40)
 # ---------------------------------------------------------------------------
 
-def _fw_step(consts: SNNLSConsts, state: SNNLSState, tol):
+def _fw_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol):
     resid = consts.b - state.xw
     rn, _ = _normalize(resid)        # scale-invariant for the argmax
     dots = _select_dots(consts, rn)
@@ -434,14 +476,15 @@ def _fw_step(consts: SNNLSConsts, state: SNNLSState, tol):
 
     w, xw = _rank1_update(state, consts, f, alpha, beta)
     idcs, size, overflow = _track_support(state, f)
-    return w, xw, state.cts, idcs, size, state.key, ok, overflow
+    return w, xw, state.cts, idcs, size, state.key, ok, overflow, aux
 
 
 # ---------------------------------------------------------------------------
 # Orthogonal (matching) pursuit (reference snnls/orthopursuit.py:7-42)
 # ---------------------------------------------------------------------------
 
-def _omp_step(consts: SNNLSConsts, state: SNNLSState, tol, nnls_iters: int = 256):
+def _omp_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
+              nnls_iters: int = 256):
     resid = consts.b - state.xw
     rn, _ = _normalize(resid)        # scale-invariant: only comparisons matter
     dots = _select_dots(consts, rn)
@@ -466,14 +509,15 @@ def _omp_step(consts: SNNLSConsts, state: SNNLSState, tol, nnls_iters: int = 256
     w_act = nnls_rows(Aact, consts.b, mask0, num_iters=nnls_iters, x0=x0)
     w = jnp.zeros_like(state.w).at[idcs].add(jnp.where(mask0, w_act, 0.0))
     xw = jnp.dot(w_act, Aact, preferred_element_type=jnp.float32)  # exact: support == active slots
-    return w, xw, state.cts, idcs, size, state.key, jnp.array(True), overflow
+    return w, xw, state.cts, idcs, size, state.key, jnp.array(True), overflow, aux
 
 
 # ---------------------------------------------------------------------------
 # Importance / uniform sampling (reference snnls/sampling.py:6-37)
 # ---------------------------------------------------------------------------
 
-def _sampling_step(consts: SNNLSConsts, state: SNNLSState, tol, matvec_k: int = 1024):
+def _sampling_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
+                   matvec_k: int = 1024):
     """One categorical draw (sampling.py:6-37) with an O(S) cache update.
 
     The weight map w_i = (cts_i / T) / ps_i changes at ONE index per draw up
@@ -495,7 +539,7 @@ def _sampling_step(consts: SNNLSConsts, state: SNNLSState, tol, matvec_k: int = 
     beta = 1.0 / (T_new * jnp.maximum(consts.ps[f], 1e-30))
     xw = alpha * state.xw + beta * _v_row(consts, f)
     idcs, size, overflow = _track_support(state, f)
-    return w, xw, cts, idcs, size, key, jnp.array(True), overflow
+    return w, xw, cts, idcs, size, key, jnp.array(True), overflow, aux
 
 
 _STEP_FNS = {
@@ -536,27 +580,33 @@ def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga
     check_monotone = _CHECK_MONOTONE[method]
     itr_end = state.itr + jnp.asarray(itrs, jnp.int32)
 
-    def cond(s: SNNLSState):
+    def cond(carry):
+        s, _ = carry
         return (s.itr < itr_end) & ~s.done
 
-    def body(s: SNNLSState) -> SNNLSState:
-        # periodic exact refresh of the cached matvec (f32 drift control);
-        # int8-resident mode gathers the tracked support instead of sorting
-        # the n-element weight vector
+    def body(carry):
+        s, aux = carry
+        # periodic exact refresh of the cached matvec AND the scalar cache
+        # (f32 drift control); int8-resident mode gathers the tracked
+        # support instead of sorting the n-element weight vector
         if _is_quantized(consts) and s.idcs.shape[0]:
-            exact = lambda: _support_matvec(consts, s.w, s.idcs, s.size)
+            exact_xw = lambda: _support_matvec(consts, s.w, s.idcs, s.size)
         else:
-            exact = lambda: _v_matvec(consts, s.w, support=matvec_k)
-        xw = jax.lax.cond(s.itr % REFRESH_EVERY == 0, exact, lambda: s.xw)
+            exact_xw = lambda: _v_matvec(consts, s.w, support=matvec_k)
+        xw, aux = jax.lax.cond(
+            s.itr % REFRESH_EVERY == 0,
+            lambda: (lambda x: (x, _aux_from_xw(consts, x)))(exact_xw()),
+            lambda: (s.xw, aux))
         s = s._replace(xw=xw)
 
-        size_nonzero = jnp.any(s.w > 0)
-        prev_err = _cached_error(consts, s.xw)
+        size_nonzero = s.size > 0 if s.idcs.shape[0] else jnp.any(s.w > 0)
+        prev_err = aux.err if method == "giga" else _cached_error(consts, s.xw)
 
-        w2, xw2, cts2, idcs2, size2, key2, ok, overflow = step_fn(consts, s, tol)
+        w2, xw2, cts2, idcs2, size2, key2, ok, overflow, aux2 = step_fn(
+            consts, s, aux, tol)
 
         if check_monotone:
-            new_err = _cached_error(consts, xw2)
+            new_err = aux2.err if method == "giga" else _cached_error(consts, xw2)
             # fail iff error strictly increased beyond tolerance slack
             # (reference snnls.py:54-61 uses exact >; tol gives f32 headroom)
             monotone_ok = ~size_nonzero | (new_err <= prev_err * (1.0 + tol))
@@ -568,7 +618,7 @@ def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga
         done = (fail >= 2) | overflow
         commit = ok & ~overflow
 
-        return SNNLSState(
+        new_s = SNNLSState(
             w=jnp.where(commit, w2, s.w),
             xw=jnp.where(commit, xw2, s.xw),
             cts=jnp.where(commit, cts2, s.cts),
@@ -579,8 +629,12 @@ def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga
             done=s.done | done,
             key=key2,
         )
+        new_aux = jax.tree_util.tree_map(partial(jnp.where, commit), aux2, aux)
+        return (new_s, new_aux)
 
-    return jax.lax.while_loop(cond, body, state)
+    aux0 = _aux_from_xw(consts, state.xw)
+    final, _ = jax.lax.while_loop(cond, body, (state, aux0))
+    return final
 
 
 @jax.jit

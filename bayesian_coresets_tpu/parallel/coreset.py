@@ -20,6 +20,21 @@ from ..utils import config
 from .mesh import DATA_AXIS, PROJ_AXIS
 
 
+def _put(x, sharding: NamedSharding):
+    """Place an array on the mesh; works in multi-controller processes too.
+
+    ``jax.device_put`` requires a fully-addressable sharding; when the mesh
+    spans processes (DCN, parallel/distributed.py) each controller instead
+    contributes its addressable shards of the SPMD-identical host value via
+    ``make_array_from_callback``."""
+    if getattr(x, "sharding", None) == sharding:
+        return x
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(jnp.shape(x), sharding,
+                                        lambda idx: x[idx])
+
+
 def shard_consts(consts: snnls.SNNLSConsts, mesh: Mesh,
                  shard_proj: bool = False) -> snnls.SNNLSConsts:
     """Place solver constants on the mesh: V rows (data) sharded, the rest
@@ -30,13 +45,13 @@ def shard_consts(consts: snnls.SNNLSConsts, mesh: Mesh,
     vec_s = NamedSharding(mesh, P(proj))
     rep = NamedSharding(mesh, P())
     return snnls.SNNLSConsts(
-        V=jax.device_put(consts.V, v_sharding),
-        b=jax.device_put(consts.b, vec_s),
-        norms=jax.device_put(consts.norms, col),
-        bnorm=jax.device_put(consts.bnorm, rep),
-        valid=jax.device_put(consts.valid, col),
-        ps=jax.device_put(consts.ps, col),
-        Vsel=jax.device_put(consts.Vsel, v_sharding),
+        V=_put(consts.V, v_sharding),
+        b=_put(consts.b, vec_s),
+        norms=_put(consts.norms, col),
+        bnorm=_put(consts.bnorm, rep),
+        valid=_put(consts.valid, col),
+        ps=_put(consts.ps, col),
+        Vsel=_put(consts.Vsel, v_sharding),
     )
 
 
@@ -47,15 +62,15 @@ def shard_state(state: snnls.SNNLSState, mesh: Mesh,
     vec_s = NamedSharding(mesh, P(proj))
     rep = NamedSharding(mesh, P())
     return snnls.SNNLSState(
-        w=jax.device_put(state.w, col),
-        xw=jax.device_put(state.xw, vec_s),
-        cts=jax.device_put(state.cts, col),
-        idcs=jax.device_put(state.idcs, rep),
-        size=jax.device_put(state.size, rep),
-        itr=jax.device_put(state.itr, rep),
-        fail=jax.device_put(state.fail, rep),
-        done=jax.device_put(state.done, rep),
-        key=jax.device_put(state.key, rep),
+        w=_put(state.w, col),
+        xw=_put(state.xw, vec_s),
+        cts=_put(state.cts, col),
+        idcs=_put(state.idcs, rep),
+        size=_put(state.size, rep),
+        itr=_put(state.itr, rep),
+        fail=_put(state.fail, rep),
+        done=_put(state.done, rep),
+        key=_put(state.key, rep),
     )
 
 

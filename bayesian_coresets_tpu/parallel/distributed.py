@@ -22,14 +22,18 @@ def initialize(coordinator_address: str | None = None,
     On Cloud TPU pods the arguments are auto-detected from the environment;
     pass them explicitly for other fabrics.
     """
-    try:
-        already = jax.process_count() > 1
-    except RuntimeError:
-        already = False
-    if not already and (coordinator_address is not None or num_processes not in (None, 1)):
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+    if coordinator_address is not None or num_processes not in (None, 1):
+        # NOTE: probing jax.process_count() here would itself initialize the
+        # XLA backend and make jax.distributed.initialize impossible — the
+        # idempotence check must go through the distributed runtime state,
+        # which raises a recognizable error on double initialization.
+        try:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        except RuntimeError as e:
+            if "already" not in str(e) and "once" not in str(e):
+                raise
     return len(jax.devices())
 
 

@@ -172,3 +172,13 @@ class TestLogisticPoissonDriver:
         LP.main(self._argv(mcmc_samples_full=48))
         caches2 = sorted(os.listdir("mcmc_cache"))
         assert len(caches2) == 2 and caches[0] in caches2
+
+    def test_svi_warm_start_driver(self, workdir, monkeypatch):
+        # SVI routes through the warm-started Laplace refit (TangentFamily
+        # make_ctx_warm); the coreset posterior must still track the full one
+        from bayesian_coresets_tpu.experiments import logistic_poisson as LP
+        self._tiny_lr(monkeypatch)
+        LP.main(self._argv(alg="SVI", opt_itrs=20, mcmc_samples_coreset=64))
+        df = results.load_matching({"alg": "SVI", "results_folder": "results/"})
+        assert np.isfinite(df["rklw"].to_numpy()).all()
+        assert df["mu_errs"].to_numpy()[-1] < 0.6
