@@ -43,11 +43,16 @@ def bpsvi_build(data, key, *, family: TangentFamily, sz: int,
     x0 = jnp.concatenate([wts0, pts0.reshape(-1)])
     nn_mask = jnp.arange(sz * (1 + d)) < sz         # clamp weights only
 
-    def grad_fn(x, k):
+    def grad_fn(x, k, carry):
         w = x[:sz]
         u = x[sz:].reshape(sz, d)
         k1, k2 = jax.random.split(k)
-        ctx = family.make_ctx(k1, w, u)
+        if family.make_ctx_warm is not None:
+            # warm-started refit (e.g. Laplace mode carried across Adam
+            # steps; see TangentFamily) — the pseudo-points move slowly
+            ctx, carry = family.make_ctx_warm(k1, w, u, carry)
+        else:
+            ctx = family.make_ctx(k1, w, u)
         if n_sub_opt is None:
             vecs = family.project(ctx, data)
             scale = 1.0
@@ -61,10 +66,15 @@ def bpsvi_build(data, key, *, family: TangentFamily, sz: int,
         resid = scale * jnp.sum(vecs, axis=0) - w @ corevecs     # (S,)
         wgrad = -(corevecs @ resid) / S
         ugrad = -jnp.einsum("m,msd,s->md", w, pgrads, resid) / S
-        return jnp.concatenate([wgrad, ugrad.reshape(-1)])
+        return jnp.concatenate([wgrad, ugrad.reshape(-1)]), carry
 
-    xf = nn_opt(x0, grad_fn, k_opt, nn_mask=nn_mask, opt_itrs=opt_itrs,
-                step_sched=step_sched)
+    if family.make_ctx_warm is not None:
+        carry0 = family.init_carry(wts0, pts0)
+        xf, _ = nn_opt(x0, grad_fn, k_opt, nn_mask=nn_mask, opt_itrs=opt_itrs,
+                       step_sched=step_sched, aux0=carry0)
+    else:
+        xf = nn_opt(x0, lambda x, k: grad_fn(x, k, None)[0], k_opt,
+                    nn_mask=nn_mask, opt_itrs=opt_itrs, step_sched=step_sched)
     return xf[:sz], xf[sz:].reshape(sz, d)
 
 

@@ -154,12 +154,16 @@ class HilbertCoreset(Coreset):
         super().reset()
 
     def _sync(self):
-        # solver vectors may be padded beyond the true candidate count
-        # (int8-resident mode pads rows to tile multiples; pads stay at w=0)
-        w = self.snnls.weights()[: len(self.sub_idcs)]
-        keep = w > 0
-        self.wts = w[keep]
-        self.idcs = self.sub_idcs[keep]
+        # device-side active-set extraction: transfers O(max_active) values
+        # instead of the full (n,) weight vector (the dominant host-sync
+        # cost at beyond-HBM n).  Solver rows may be padded beyond the true
+        # candidate count (int8-resident tile padding; pads stay at w=0).
+        idx, vals = self.snnls.active()
+        keep = (idx >= 0) & (idx < len(self.sub_idcs))
+        idx, vals = idx[keep], vals[keep]
+        order = np.argsort(idx)            # stable order by solver column
+        self.wts = vals[order]
+        self.idcs = self.sub_idcs[idx[order]]
         self.pts = self.data[self.idcs]
         self.reached_numeric_limit = self.snnls.reached_numeric_limit
 

@@ -47,7 +47,8 @@ def full_cache_path(arguments) -> str:
     """
     tag = (f"{arguments.model}_{arguments.dataset}"
            f"_n{arguments.mcmc_samples_full}_c{arguments.mcmc_chains}"
-           f"_a{arguments.target_accept}_t{arguments.trial}")
+           f"_a{arguments.target_accept}_d{arguments.max_treedepth}"
+           f"_t{arguments.trial}")
     return os.path.join("mcmc_cache", f"full_samples_{tag}.npz")
 
 
@@ -100,9 +101,13 @@ def run(arguments):
     else:
         print(f"Running full-data MCMC ({nc} chains x {n_full} draws)")
         key, kmc = jax.random.split(key)
+        # warmup = the full single-chain burn length (reference iter=2N
+        # convention): adaptation quality must not shrink with chain count
         full_samples, t_full, res_full = mcmc.run(
             model, Z, jnp.ones(N), n_full, kmc, d=dth, num_chains=nc,
-            target_accept=arguments.target_accept, pooled_adaptation=nc > 1)
+            target_accept=arguments.target_accept, pooled_adaptation=nc > 1,
+            num_warmup=arguments.mcmc_samples_full,
+            max_depth=arguments.max_treedepth)
         full_samples = np.asarray(full_samples)
         full_rhat, full_ess = chain_diagnostics(res_full)
         full_mcmc_time_per_itr = t_full / (nc * n_full * 2)
@@ -183,20 +188,23 @@ def run(arguments):
                 opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed,
                 capacity=int(arguments.coreset_size_max))
         sd = {"f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8}[arguments.select_dtype]
+        stream = getattr(arguments, "stream_chunk_size", 0) or None
         if name == "GIGA-OPT":
             return bc.HilbertCoreset(
                 Z, bc.BlackBoxProjector(sampler_opt, S, model.log_likelihood), seed=seed,
-                select_dtype=sd)
+                select_dtype=sd, stream_chunk_size=stream)
         if name == "GIGA-REAL":
             return bc.HilbertCoreset(
                 Z, bc.BlackBoxProjector(sampler_real, S, model.log_likelihood), seed=seed,
-                select_dtype=sd)
+                select_dtype=sd, stream_chunk_size=stream)
         if name == "US":
             return bc.UniformSamplingCoreset(Z, seed=seed)
         if name == "BPSVI":
             return bc.BatchPSVICoreset(
                 Z, bc.BlackBoxProjector(sampler_bb, S, model.log_likelihood,
-                                        model.grad_z_log_likelihood),
+                                        model.grad_z_log_likelihood,
+                                        warm_sampler=sampler_bb_warm,
+                                        init_carry=init_carry_bb),
                 opt_itrs=arguments.opt_itrs, step_sched=sched, seed=seed)
         raise ValueError(name)
 
@@ -248,7 +256,9 @@ def run(arguments):
         n_cst = -(-arguments.mcmc_samples_coreset // nc)
         cst_samples, t_cst, res_cst = mcmc.run(
             model, pts_m, wts_m, n_cst, kmc, d=dth, num_chains=nc,
-            target_accept=arguments.target_accept, pooled_adaptation=nc > 1)
+            target_accept=arguments.target_accept, pooled_adaptation=nc > 1,
+            num_warmup=arguments.mcmc_samples_coreset,
+            max_depth=arguments.max_treedepth)
         cst_samples = np.asarray(cst_samples)
         rhats[m], esses[m] = chain_diagnostics(res_cst)
         if rhats[m] > RHAT_GATE:
@@ -296,6 +306,9 @@ def main(argv=None):
                              "chain parallelism is the TPU throughput lever")
     parser.add_argument("--target_accept", type=float, default=0.9,
                         help="NUTS acceptance target (Stan adapt_delta)")
+    parser.add_argument("--max_treedepth", type=int, default=15,
+                        help="NUTS max tree depth (reference control "
+                             "max_treedepth=15, mcmc.py:58)")
     parser.add_argument("--proj_dim", type=int, default=500)
     parser.add_argument("--fs_samples", type=int, default=1000,
                         help="posterior samples used for the Fs metric")
@@ -306,6 +319,9 @@ def main(argv=None):
     parser.add_argument("--step_sched", type=str, default="inv")
     parser.add_argument("--select_dtype", choices=["f32", "bf16", "int8"], default="f32",
                         help="reduced-precision selection copy for Hilbert solvers")
+    parser.add_argument("--stream_chunk_size", type=int, default=0,
+                        help="(GIGA-*) chunked projection with int8-resident "
+                             "storage: beyond-HBM datasets on one chip")
     arguments = parser.parse_args(argv)
     if not hasattr(arguments, "func"):
         parser.error("specify a subcommand: run | plot")

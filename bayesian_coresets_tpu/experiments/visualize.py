@@ -98,10 +98,47 @@ def plot_linreg_surface(basis_locs, basis_scales, theta, pts=None, wts=None,
     return out_path
 
 
+def plot_housing_prices(data=None, out_path: str = "housing_prices.png",
+                        power: int = 3, seed: int = 0, n: int = 20000):
+    """Price-colored location scatter of the housing dataset.
+
+    Covers the reference's ``examples/data/plot_housing_prices.py``: sort by
+    price, map normalized log-price through a cubic to a red-blue ramp, and
+    scatter (lon, lat).  ``data`` rows are [lat, lon, price-like]; omitted,
+    the synthetic stand-in is generated (the reference's ``prices2018.npy``
+    is not shipped with either repo).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if data is None:
+        from .datasets import gen_synthetic_housing
+        data = gen_synthetic_housing(np.random.default_rng(seed), n)
+    data = np.asarray(data)
+    data = data[np.argsort(data[:, 2])]
+    logp = np.log(np.clip(data[:, 2], 1e-12, None))
+    c = ((logp - logp.min()) / max(logp.max() - logp.min(), 1e-12)) ** power
+    colors = np.stack([c, np.zeros_like(c), 1.0 - c], axis=1)
+
+    fig, ax = plt.subplots(figsize=(7, 6))
+    ax.scatter(data[:, 1], data[:, 0], s=4, c=colors, alpha=0.25, linewidths=0)
+    ax.set_xlabel("lon")
+    ax.set_ylabel("lat")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    path = argv[0] if argv else "results/coreset_data.pk"
-    out = plot_coreset_pts(path)
+    if argv and argv[0] == "housing":
+        out = plot_housing_prices(out_path=argv[1] if len(argv) > 1
+                                  else "housing_prices.png")
+    else:
+        path = argv[0] if argv else "results/coreset_data.pk"
+        out = plot_coreset_pts(path)
     print(f"wrote {out}")
 
 

@@ -162,5 +162,10 @@ def find_reasonable_step_size(value_and_grad_fn, z, logp, grad, inv_mass_diag,
         step, i = carry
         return step * jnp.where(init_dir > 0, 2.0, 0.5), i + 1
 
-    step, _ = jax.lax.while_loop(cond, body, (jnp.asarray(init_step, z.dtype), 0))
-    return step
+    step, iters = jax.lax.while_loop(cond, body,
+                                     (jnp.asarray(init_step, z.dtype), 0))
+    # a search that never crosses 0.5 within 60 doublings/halvings is
+    # pathological (e.g. a non-finite cached gradient makes every accept
+    # -inf); returning the runaway 2^±60 step would freeze or explode the
+    # sampler — keep the caller's step instead
+    return jnp.where(iters < 60, step, jnp.asarray(init_step, z.dtype))

@@ -85,7 +85,14 @@ def _build_subtree(value_and_grad_fn, start: IntegratorState, num_steps, step,
     def body(c: _SubtreeCarry) -> _SubtreeCarry:
         s = leapfrog(value_and_grad_fn, c.s, step, inv_mass_diag)
         logw_leaf = s.logp - kinetic(s.r, inv_mass_diag) - joint0
-        logw_leaf = jnp.where(jnp.isnan(logw_leaf), -jnp.inf, logw_leaf)
+        # a leaf with non-finite position/GRADIENT must never be proposed
+        # even when its logp is finite: caching an inf gradient poisons
+        # every later leapfrog and step-size search from that chain
+        # (observed on airportdelays: one poisoned chain collapsed the
+        # pooled step size to 1e-27 and froze all chains)
+        finite = (jnp.isfinite(s.logp) & jnp.all(jnp.isfinite(s.grad))
+                  & jnp.all(jnp.isfinite(s.z)))
+        logw_leaf = jnp.where(jnp.isnan(logw_leaf) | ~finite, -jnp.inf, logw_leaf)
         diverging = logw_leaf < -DIVERGENCE_THRESHOLD
         accept = jnp.minimum(1.0, jnp.exp(jnp.minimum(logw_leaf, 0.0)))
 

@@ -20,19 +20,50 @@ import jax.numpy as jnp
 from .sample import MCMCResult, run_nuts
 
 
-def weighted_logdensity(model, z, wts) -> Callable:
-    """Build theta -> log p(theta) + sum_i w_i ll(z_i, theta).
+def weighted_logdensity(model, z, wts, ref: jax.Array | None = None) -> Callable:
+    """Build theta -> log p(theta) + sum_i w_i ll(z_i, theta) (+ const).
 
     ``model`` is any module/namespace exposing ``log_joint(z, th, wts)``
     batched over rows of th (e.g. models.logistic, models.poisson).
+
+    With ``ref`` (and a model exposing ``log_likelihood``/``log_prior``),
+    the density is evaluated RELATIVE to the reference point:
+    ``sum_i w_i (ll_i(theta) - ll_i(ref)) + log pi(theta)`` — the same
+    function up to a constant, but numerically transformative for
+    concentrated weighted posteriors: the absolute weighted sum reaches
+    ~|1e5| where f32 accumulation noise is ~0.05 (enough to poison NUTS
+    energy differences and collapse step-size adaptation — observed on
+    airportdelays/biketrips), while per-datum DIFFERENCES near ref are
+    O(0.1) and their weighted sum stays small and f32-exact.
     """
     z = jnp.asarray(z)
     wts = jnp.asarray(wts)
+
+    if ref is not None and hasattr(model, "log_likelihood") and hasattr(model, "log_prior"):
+        ll_ref = model.log_likelihood(z, jnp.asarray(ref)[None, :])[:, 0]
+
+        def logdensity(theta):
+            ll = model.log_likelihood(z, theta[None, :])[:, 0]
+            return jnp.dot(wts, ll - ll_ref) + model.log_prior(theta[None, :])[0]
+
+        return logdensity
 
     def logdensity(theta):
         return model.log_joint(z, theta[None, :], wts)[0]
 
     return logdensity
+
+
+def fit_laplace(model, z, wts, d: int):
+    """Laplace approximation of the weighted posterior, or None if the model
+    lacks gradient/Hessian functions."""
+    grad_fn = getattr(model, "grad_th_log_joint", None)
+    hess_fn = getattr(model, "hess_th_log_joint", None)
+    if grad_fn is None or hess_fn is None:
+        return None
+    from ..models.laplace import laplace_approx
+    return laplace_approx(jnp.asarray(z), jnp.asarray(wts), jnp.zeros(d),
+                          grad_fn=grad_fn, hess_fn=hess_fn)
 
 
 def laplace_init(model, z, wts, num_chains: int, key, d: int):
@@ -46,42 +77,85 @@ def laplace_init(model, z, wts, num_chains: int, key, d: int):
     in the typical set AND gives properly overdispersed inits for split
     R-hat.  Falls back to zeros when the model lacks Hessians.
     """
-    grad_fn = getattr(model, "grad_th_log_joint", None)
-    hess_fn = getattr(model, "hess_th_log_joint", None)
-    if grad_fn is None or hess_fn is None:
+    lap = fit_laplace(model, z, wts, d)
+    if lap is None:
         return jnp.zeros((num_chains, d), jnp.asarray(z).dtype)
-    from ..models.laplace import laplace_approx, sample_laplace
-    lap = laplace_approx(jnp.asarray(z), jnp.asarray(wts), jnp.zeros(d),
-                         grad_fn=grad_fn, hess_fn=hess_fn)
+    from ..models.laplace import sample_laplace
     return sample_laplace(key, lap, num_chains)
 
 
 def run(model, z, wts, n_samples: int, key, d: int | None = None,
         num_chains: int = 1, max_depth: int = 10, target_accept: float = 0.9,
-        init: jax.Array | None = None, pooled_adaptation: bool = False):
+        init: jax.Array | None = None, pooled_adaptation: bool = False,
+        num_warmup: int | None = None, precondition: bool = True):
     """Weighted-posterior NUTS with the reference driver's conventions.
 
     Mirrors ``mcmc.run(...) -> (samples, t_sample)`` (reference
-    examples/common/mcmc.py:58-68): ``n_samples`` warmup steps are taken
-    before ``n_samples`` kept draws (the reference samples iter=2*N with
-    half burn-in), and ``target_accept`` defaults to Stan's adapt_delta=0.9.
-    Chains initialize from the Laplace approximation when the model provides
-    gradients/Hessians (see :func:`laplace_init`); pass ``init`` to override.
+    examples/common/mcmc.py:58-68): ``n_samples`` PER-CHAIN kept draws after
+    ``num_warmup`` warmup steps (default: ``n_samples``, the reference's
+    iter=2*N-with-half-burn-in convention), and ``target_accept`` defaults
+    to Stan's adapt_delta=0.9.  When splitting a total draw budget across
+    chains, pass ``num_warmup`` explicitly — warmup/adaptation length must
+    NOT shrink with the chain count (each chain adapts independently of how
+    many siblings it has; an 8-way split of a 2000-draw budget would
+    otherwise leave 250-step warmups that cannot adapt hard posteriors).
+
+    ``precondition=True`` (when the model exposes grad/hess of the
+    log-joint) samples the EXACT reparameterization theta = mu + USig @ u
+    around the Laplace fit, so NUTS runs on a ~N(0, I) geometry: weighted
+    coreset posteriors concentrate their curvature by factors of the total
+    weight (~N/M per point), far beyond what Stan's diagonal mass
+    adaptation can equalize — the affine change of variables (constant
+    Jacobian, no distribution change) removes the conditioning problem at
+    the source.  Diagnostics in the returned MCMCResult are transformed
+    back to theta space; ``step_size``/``inv_mass_diag`` describe u space.
+    Pass ``init`` (theta-space chain inits) to disable preconditioning.
     Returns (samples (num_chains*n_samples, d), wall_seconds, MCMCResult).
     """
     z = jnp.asarray(z)
     if d is None:
         d = z.shape[1]
-    logdensity = weighted_logdensity(model, z, wts)
-    if init is None:
-        key, k_init = jax.random.split(key)
-        init = laplace_init(model, z, wts, num_chains, k_init, d)
-    t0 = time.perf_counter()
-    res: MCMCResult = run_nuts(logdensity, init, key, num_warmup=n_samples,
-                               num_samples=n_samples, max_depth=max_depth,
-                               target_accept=target_accept,
-                               pooled_adaptation=pooled_adaptation)
-    jax.block_until_ready(res.samples)
-    t = time.perf_counter() - t0
-    samples = res.samples.reshape(-1, d)
-    return samples, t, res
+    # NUTS energy differences need full-f32 logits: TPU matmuls default to
+    # bf16 inputs (~0.8% relative), which scaled by weight*count poisons the
+    # Hamiltonian and collapses step-size adaptation (chains froze on
+    # airportdelays/biketrips with adapted steps ~1e-3 while the same
+    # arithmetic on f32 CPU adapted to ~0.55).  The sampler's matmuls are
+    # (n, d) logits — negligible next to the coreset-build hot path.
+    with jax.default_matmul_precision("highest"):
+        lap = fit_laplace(model, z, wts, d) if (precondition and init is None) else None
+        if lap is not None:
+            mu, A = lap.mu, lap.USig                # Sig = A @ A.T
+            # relative evaluation around the mode: keeps the weighted sum
+            # small so f32 accumulation noise cannot poison the energies
+            logdensity_rel = weighted_logdensity(model, z, wts, ref=mu)
+
+            def logdensity_u(u):
+                return logdensity_rel(mu + A @ u)
+
+            key, k_init = jax.random.split(key)
+            init_u = jax.random.normal(k_init, (num_chains, d), mu.dtype)
+            t0 = time.perf_counter()
+            res: MCMCResult = run_nuts(logdensity_u, init_u, key,
+                                       num_warmup=num_warmup or n_samples,
+                                       num_samples=n_samples, max_depth=max_depth,
+                                       target_accept=target_accept,
+                                       pooled_adaptation=pooled_adaptation)
+            jax.block_until_ready(res.samples)
+            t = time.perf_counter() - t0
+            theta = res.samples @ A.T + mu          # (chains, draws, d)
+            res = res._replace(samples=theta)
+            return theta.reshape(-1, d), t, res
+        logdensity = weighted_logdensity(model, z, wts)
+        if init is None:
+            key, k_init = jax.random.split(key)
+            init = laplace_init(model, z, wts, num_chains, k_init, d)
+        t0 = time.perf_counter()
+        res: MCMCResult = run_nuts(logdensity, init, key,
+                                   num_warmup=num_warmup or n_samples,
+                                   num_samples=n_samples, max_depth=max_depth,
+                                   target_accept=target_accept,
+                                   pooled_adaptation=pooled_adaptation)
+        jax.block_until_ready(res.samples)
+        t = time.perf_counter() - t0
+        samples = res.samples.reshape(-1, d)
+        return samples, t, res

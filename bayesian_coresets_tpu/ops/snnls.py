@@ -664,6 +664,15 @@ def optimize_active(consts: SNNLSConsts, state: SNNLSState, idcs: jax.Array,
     return new_state, ok
 
 
+@jax.jit
+def _active_set(state: SNNLSState):
+    """Tracked-support (indices, weights) — a small fixed-size transfer."""
+    K = state.idcs.shape[0]
+    mask = jnp.arange(K) < state.size
+    safe = jnp.where(mask, state.idcs, 0)
+    return jnp.where(mask, safe, -1), jnp.where(mask, state.w[safe], 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Stateful wrappers with the reference's user-facing API
 # ---------------------------------------------------------------------------
@@ -735,6 +744,25 @@ class SparseNNLS:
     def weights(self):
         import numpy as np
         return np.asarray(self.state.w)
+
+    def active(self):
+        """(indices, weights) of the active set, device-extracted.
+
+        Transfers O(max_active) scalars instead of the full (n,) weight
+        vector — at beyond-HBM n the ``weights()`` pull is the dominant
+        host-sync cost of an incremental build.  Valid because the build
+        loop enforces nnz(w) <= max_active (see _track_support); rows with
+        w == 0 are filtered out.
+        """
+        import numpy as np
+        if self.state.idcs.shape[0]:
+            idx, vals = _active_set(self.state)
+            idx, vals = np.asarray(idx), np.asarray(vals)
+        else:
+            vals = np.asarray(self.state.w)
+            idx = np.arange(vals.shape[0])
+        keep = vals > 0
+        return idx[keep], vals[keep]
 
     def error(self) -> float:
         return float(error(self.consts, self.state.w, support=self._max_active))

@@ -138,7 +138,7 @@ class TestLogisticPoissonDriver:
         base = {"model": "lr", "dataset": "synth_lr", "alg": "GIGA-OPT",
                 "trial": 1, "mcmc_samples_full": 32, "mcmc_samples_coreset": 32,
                 "mcmc_chains": 2, "proj_dim": 32, "coreset_size_max": 16,
-                "coreset_num_sizes": 2, "fs_samples": 16}
+                "coreset_num_sizes": 2, "fs_samples": 16, "max_treedepth": 8}
         base.update(kw)
         return ["run"] + [x for k, v in base.items()
                           for x in (f"--{k}", str(v))]
@@ -147,11 +147,11 @@ class TestLogisticPoissonDriver:
         from bayesian_coresets_tpu.experiments.logistic_poisson import full_cache_path
         base = argparse.Namespace(model="lr", dataset="synth_lr",
                                   mcmc_samples_full=1000, mcmc_chains=8,
-                                  target_accept=0.9, trial=1)
+                                  target_accept=0.9, max_treedepth=15, trial=1)
         p0 = full_cache_path(base)
         for field, val in [("mcmc_samples_full", 2000), ("mcmc_chains", 4),
                            ("target_accept", 0.8), ("trial", 2),
-                           ("dataset", "phishing")]:
+                           ("max_treedepth", 12), ("dataset", "phishing")]:
             ns = argparse.Namespace(**{**vars(base), field: val})
             assert full_cache_path(ns) != p0, field
 

@@ -198,3 +198,52 @@ def test_laplace_init_and_fallback():
     bare = types.SimpleNamespace(log_joint=logistic.log_joint)
     init0 = weighted.laplace_init(bare, Z, w, 3, jax.random.key(1), 4)
     np.testing.assert_array_equal(np.asarray(init0), np.zeros((3, 4)))
+
+
+class TestPoisonedStateRobustness:
+    """A state with non-finite cached gradient must never poison the sampler
+    (observed on airportdelays: one poisoned chain collapsed the POOLED step
+    size to ~1e-27 and froze all 8 chains at their inits)."""
+
+    def test_step_size_search_falls_back_on_poisoned_state(self):
+        from bayesian_coresets_tpu.mcmc.adapt import find_reasonable_step_size
+        vg = jax.value_and_grad(lambda x: -0.5 * jnp.sum(x**2))
+        z = jnp.zeros(4)
+        logp, grad = vg(z)
+        bad_grad = grad.at[0].set(jnp.inf)
+        step = find_reasonable_step_size(vg, z, logp, bad_grad, jnp.ones(4),
+                                         jax.random.key(0), init_step=0.37)
+        assert abs(float(step) - 0.37) < 1e-6
+
+    def test_nuts_never_caches_nonfinite_grad(self):
+        from bayesian_coresets_tpu.mcmc.integrators import IntegratorState
+        from bayesian_coresets_tpu.mcmc.nuts import nuts_kernel
+
+        # finite logp everywhere, but the gradient overflows beyond |x0|>1.5
+        @jax.custom_jvp
+        def logd(x):
+            return -0.5 * jnp.sum(x**2)
+
+        @logd.defjvp
+        def _jvp(primals, tangents):
+            (x,), (t,) = primals, tangents
+            g = -x * jnp.where(jnp.abs(x[0]) > 1.5, jnp.inf, 1.0)
+            return logd(x), jnp.dot(g, t)
+
+        vg = jax.value_and_grad(logd)
+        z = jnp.zeros(3)
+        logp, grad = vg(z)
+        state = IntegratorState(z, jnp.zeros(3), logp, grad)
+
+        @jax.jit
+        def run(state, key):
+            def body(i, carry):
+                state, key, ok = carry
+                key, k = jax.random.split(key)
+                state, _ = nuts_kernel(vg, k, state, 0.6, jnp.ones(3), 6)
+                ok = ok & jnp.all(jnp.isfinite(state.grad)) & jnp.isfinite(state.logp)
+                return state, key, ok
+            return jax.lax.fori_loop(0, 200, body, (state, key, jnp.array(True)))
+
+        state, _, ok = run(state, jax.random.key(1))
+        assert bool(ok), "a non-finite-gradient state was cached"
