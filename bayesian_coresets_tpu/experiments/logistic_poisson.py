@@ -262,6 +262,24 @@ def run(arguments):
         cst_samples = np.asarray(cst_samples)
         rhats[m], esses[m] = chain_diagnostics(res_cst)
         if rhats[m] > RHAT_GATE:
+            # extreme weighted posteriors (weight*count ~ 1e6) amplify TPU
+            # f32 transcendental jitter into O(1) energy noise that stalls
+            # adaptation; CPU libm (~0.5 ULP) converges on the same f32
+            # arithmetic, and the coreset data is tiny — retry there
+            print(f"M = {Ms[m]}: coreset chains unconverged on accelerator "
+                  f"(split-R-hat {rhats[m]:.3f}); retrying on CPU")
+            key, kmc2 = jax.random.split(key)
+            with jax.default_device(jax.devices("cpu")[0]):
+                cst_samples, t_cst, res_cst = mcmc.run(
+                    model, jnp.asarray(pts_m), jnp.asarray(wts_m), n_cst, kmc2,
+                    d=dth, num_chains=nc,
+                    target_accept=arguments.target_accept,
+                    pooled_adaptation=nc > 1,
+                    num_warmup=arguments.mcmc_samples_coreset,
+                    max_depth=arguments.max_treedepth)
+            cst_samples = np.asarray(cst_samples)
+            rhats[m], esses[m] = chain_diagnostics(res_cst)
+        if rhats[m] > RHAT_GATE:
             print(f"WARNING: coreset chains at M={Ms[m]} not converged "
                   f"(max split-R-hat {rhats[m]:.3f} > {RHAT_GATE})")
 

@@ -25,12 +25,18 @@ class DualAveragingState(NamedTuple):
     count: jax.Array
 
 
+_LOG10 = 2.302585092994046
+
+
 def da_init(step_size):
     log_step = jnp.log(step_size)
     # the running average starts AT the current step (not exp(0)=1), so a
-    # zero-length window after a boundary reset keeps a sane step size
-    return DualAveragingState(log_step, log_step, jnp.zeros(()),
-                              jnp.log(10.0) + log_step, jnp.zeros(()))
+    # zero-length window after a boundary reset keeps a sane step size.
+    # Literals stay weakly-typed / dtype-pinned so an enclosing x64 context
+    # (mcmc.run's f64 log-density island) cannot promote the carried state.
+    zero = jnp.zeros((), log_step.dtype)
+    return DualAveragingState(log_step, log_step, zero,
+                              _LOG10 + log_step, zero)
 
 
 def da_update(state: DualAveragingState, accept_prob, target=0.8,
@@ -51,7 +57,7 @@ class WelfordState(NamedTuple):
 
 
 def welford_init(d, dtype=jnp.float32):
-    return WelfordState(jnp.zeros(()), jnp.zeros(d, dtype), jnp.zeros(d, dtype))
+    return WelfordState(jnp.zeros((), dtype), jnp.zeros(d, dtype), jnp.zeros(d, dtype))
 
 
 def welford_update(state: WelfordState, x) -> WelfordState:

@@ -132,8 +132,8 @@ def _build_subtree(value_and_grad_fn, start: IntegratorState, num_steps, step,
         ckpt_z=jnp.zeros((max_depth, d), start.z.dtype),
         ckpt_r=jnp.zeros((max_depth, d), start.z.dtype),
         prop=start,
-        logw=-jnp.inf,
-        sum_accept=jnp.zeros(()),
+        logw=jnp.asarray(-jnp.inf, jnp.float32),
+        sum_accept=jnp.zeros((), jnp.float32),
         turning=jnp.array(False),
         diverging=jnp.array(False),
         i=jnp.int32(0),
@@ -199,9 +199,9 @@ def nuts_kernel(value_and_grad_fn: Callable, key, state: IntegratorState,
         )
 
     init = _TreeCarry(
-        left=s0, right=s0, prop=s0, logw=jnp.zeros(()),
+        left=s0, right=s0, prop=s0, logw=jnp.zeros((), jnp.float32),
         depth=jnp.int32(0), turning=jnp.array(False), diverging=jnp.array(False),
-        sum_accept=jnp.zeros(()), num_steps=jnp.int32(0), key=key,
+        sum_accept=jnp.zeros((), jnp.float32), num_steps=jnp.int32(0), key=key,
     )
     out = jax.lax.while_loop(cond, body, init)
 

@@ -87,7 +87,8 @@ def laplace_init(model, z, wts, num_chains: int, key, d: int):
 def run(model, z, wts, n_samples: int, key, d: int | None = None,
         num_chains: int = 1, max_depth: int = 10, target_accept: float = 0.9,
         init: jax.Array | None = None, pooled_adaptation: bool = False,
-        num_warmup: int | None = None, precondition: bool = True):
+        num_warmup: int | None = None, precondition: bool = True,
+        f64_logdensity: bool = False):
     """Weighted-posterior NUTS with the reference driver's conventions.
 
     Mirrors ``mcmc.run(...) -> (samples, t_sample)`` (reference
@@ -125,23 +126,51 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
         lap = fit_laplace(model, z, wts, d) if (precondition and init is None) else None
         if lap is not None:
             mu, A = lap.mu, lap.USig                # Sig = A @ A.T
-            # relative evaluation around the mode: keeps the weighted sum
-            # small so f32 accumulation noise cannot poison the energies
-            logdensity_rel = weighted_logdensity(model, z, wts, ref=mu)
+            if f64_logdensity:
+                # f64 ISLAND for the log-density only: extreme weighted
+                # posteriors (weight*count ~ 1e6) amplify even 1-ULP f32
+                # transcendental jitter into O(1) Hamiltonian noise (TPU
+                # chains on biketrips stayed unconverged while identical
+                # f32 CPU arithmetic mixed cleanly — CPU libm is ~0.5 ULP).
+                # The integrator, adaptation, and states all stay f32; only
+                # the density (and its grad path) computes in f64 and the
+                # small RELATIVE value is rounded back to f32.  Default OFF:
+                # f64 emulation through a full NUTS tree is impractically
+                # slow on current TPU runtimes; the drivers instead fall
+                # back to CPU sampling (tiny coreset data) when the R-hat
+                # gate flags an unconverged f32 run.
+                x64_ctx = jax.enable_x64()
+            else:
+                import contextlib
+                x64_ctx = contextlib.nullcontext()
 
-            def logdensity_u(u):
-                return logdensity_rel(mu + A @ u)
+            with x64_ctx:
+                # casts MUST happen inside the context: outside it jax
+                # silently truncates requested float64 back to float32
+                if f64_logdensity:
+                    zl = z.astype(jnp.float64)
+                    wl = jnp.asarray(wts).astype(jnp.float64)
+                    mul, Al = mu.astype(jnp.float64), A.astype(jnp.float64)
+                else:
+                    zl, wl, mul, Al = z, wts, mu, A
+                # built inside the context so the f64 reference lls are real
+                logdensity_rel = weighted_logdensity(model, zl, wl, ref=mul)
 
-            key, k_init = jax.random.split(key)
-            init_u = jax.random.normal(k_init, (num_chains, d), mu.dtype)
-            t0 = time.perf_counter()
-            res: MCMCResult = run_nuts(logdensity_u, init_u, key,
-                                       num_warmup=num_warmup or n_samples,
-                                       num_samples=n_samples, max_depth=max_depth,
-                                       target_accept=target_accept,
-                                       pooled_adaptation=pooled_adaptation)
-            jax.block_until_ready(res.samples)
-            t = time.perf_counter() - t0
+                def logdensity_u(u):
+                    th = mul + Al @ u.astype(zl.dtype)
+                    return logdensity_rel(th).astype(jnp.float32)
+
+                key, k_init = jax.random.split(key)
+                init_u = jax.random.normal(k_init, (num_chains, d), jnp.float32)
+                t0 = time.perf_counter()
+                res: MCMCResult = run_nuts(logdensity_u, init_u, key,
+                                           num_warmup=num_warmup or n_samples,
+                                           num_samples=n_samples,
+                                           max_depth=max_depth,
+                                           target_accept=target_accept,
+                                           pooled_adaptation=pooled_adaptation)
+                jax.block_until_ready(res.samples)
+                t = time.perf_counter() - t0
             theta = res.samples @ A.T + mu          # (chains, draws, d)
             res = res._replace(samples=theta)
             return theta.reshape(-1, d), t, res

@@ -22,7 +22,10 @@ _LOG2PI = 1.8378770664093453
 def _logits(z: jax.Array, th: jax.Array) -> jax.Array:
     z = jnp.atleast_2d(z)
     th = jnp.atleast_2d(th)
-    return jnp.dot(z, th.T, preferred_element_type=jnp.float32)  # (n, S)
+    # accumulate at (at least) the input precision: forcing f32 here would
+    # silently downcast the f64 log-density island used by mcmc.run
+    acc = jnp.promote_types(z.dtype, jnp.float32)
+    return jnp.dot(z, th.T, preferred_element_type=acc)  # (n, S)
 
 
 def log_likelihood(z: jax.Array, th: jax.Array) -> jax.Array:

@@ -26,7 +26,11 @@ def _split(z):
 
 
 def _logits(x, th):
-    return jnp.dot(x, jnp.atleast_2d(th).T, preferred_element_type=jnp.float32)  # (n, S)
+    th = jnp.atleast_2d(th)
+    # accumulate at (at least) the input precision: forcing f32 here would
+    # silently downcast the f64 log-density island used by mcmc.run
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    return jnp.dot(x, th.T, preferred_element_type=acc)  # (n, S)
 
 
 def compute_s(th: jax.Array, x: jax.Array) -> jax.Array:
