@@ -48,7 +48,8 @@ def full_cache_path(arguments) -> str:
     tag = (f"{arguments.model}_{arguments.dataset}"
            f"_n{arguments.mcmc_samples_full}_c{arguments.mcmc_chains}"
            f"_a{arguments.target_accept}_d{arguments.max_treedepth}"
-           f"_t{arguments.trial}")
+           f"_t{arguments.trial}"
+           + ("_dm" if getattr(arguments, "dense_mass", False) else ""))
     return os.path.join("mcmc_cache", f"full_samples_{tag}.npz")
 
 
@@ -107,7 +108,8 @@ def run(arguments):
             model, Z, jnp.ones(N), n_full, kmc, d=dth, num_chains=nc,
             target_accept=arguments.target_accept, pooled_adaptation=nc > 1,
             num_warmup=arguments.mcmc_samples_full,
-            max_depth=arguments.max_treedepth)
+            max_depth=arguments.max_treedepth,
+            dense_mass=arguments.dense_mass)
         full_samples = np.asarray(full_samples)
         full_rhat, full_ess = chain_diagnostics(res_full)
         full_mcmc_time_per_itr = t_full / (nc * n_full * 2)
@@ -258,7 +260,8 @@ def run(arguments):
             model, pts_m, wts_m, n_cst, kmc, d=dth, num_chains=nc,
             target_accept=arguments.target_accept, pooled_adaptation=nc > 1,
             num_warmup=arguments.mcmc_samples_coreset,
-            max_depth=arguments.max_treedepth)
+            max_depth=arguments.max_treedepth,
+            dense_mass=arguments.dense_mass)
         cst_samples = np.asarray(cst_samples)
         rhats[m], esses[m] = chain_diagnostics(res_cst)
         if rhats[m] > RHAT_GATE:
@@ -276,7 +279,8 @@ def run(arguments):
                     target_accept=arguments.target_accept,
                     pooled_adaptation=nc > 1,
                     num_warmup=arguments.mcmc_samples_coreset,
-                    max_depth=arguments.max_treedepth)
+                    max_depth=arguments.max_treedepth,
+                    dense_mass=arguments.dense_mass)
             cst_samples = np.asarray(cst_samples)
             rhats[m], esses[m] = chain_diagnostics(res_cst)
         if rhats[m] > RHAT_GATE:
@@ -324,6 +328,10 @@ def main(argv=None):
                              "chain parallelism is the TPU throughput lever")
     parser.add_argument("--target_accept", type=float, default=0.9,
                         help="NUTS acceptance target (Stan adapt_delta)")
+    parser.add_argument("--dense_mass", action="store_true",
+                        help="adapt a full (d, d) covariance metric (Stan's "
+                             "dense_e) — for correlated posteriors a diagonal "
+                             "cannot equalize (e.g. airportdelays)")
     parser.add_argument("--max_treedepth", type=int, default=15,
                         help="NUTS max tree depth (reference control "
                              "max_treedepth=15, mcmc.py:58)")

@@ -9,7 +9,8 @@ sampler compiles once per model.
 from .adapt import build_schedule, da_init, da_update, find_reasonable_step_size
 from .diagnostics import ess, split_rhat
 from .hmc import hmc_kernel
-from .integrators import IntegratorState, kinetic, leapfrog
+from .integrators import (IntegratorState, kinetic, leapfrog, mass_mul,
+                          sample_momentum)
 from .nuts import NUTSInfo, nuts_kernel
 from .sample import MCMCResult, run_nuts
 from .weighted import run, weighted_logdensity
@@ -18,6 +19,8 @@ __all__ = [
     "IntegratorState",
     "leapfrog",
     "kinetic",
+    "mass_mul",
+    "sample_momentum",
     "nuts_kernel",
     "NUTSInfo",
     "hmc_kernel",

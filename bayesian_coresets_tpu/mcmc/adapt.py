@@ -1,11 +1,12 @@
-"""Warmup adaptation: dual-averaging step size + windowed diagonal mass.
+"""Warmup adaptation: dual-averaging step size + windowed mass matrix.
 
 Stan-style adaptation schedule (the reference relies on Stan's
 ``adapt_delta=0.9`` control, examples/common/mcmc.py:58-65): an initial
 fast window for step size only, doubling slow windows accumulating Welford
-variance for the diagonal mass matrix, and a terminal fast window.  The
-schedule is precomputed host-side as boolean masks so the whole warmup runs
-in one ``lax.scan``.
+statistics for the mass matrix (diagonal variances by default, the full
+scatter matrix for the dense metric — Stan's diag_e/dense_e), and a
+terminal fast window.  The schedule is precomputed host-side as boolean
+masks so the whole warmup runs in one ``lax.scan``.
 """
 
 from __future__ import annotations
@@ -53,18 +54,24 @@ def da_update(state: DualAveragingState, accept_prob, target=0.8,
 class WelfordState(NamedTuple):
     count: jax.Array
     mean: jax.Array
-    m2: jax.Array
+    m2: jax.Array     # (d,) running variance sum, or (d, d) scatter matrix
 
 
-def welford_init(d, dtype=jnp.float32):
-    return WelfordState(jnp.zeros((), dtype), jnp.zeros(d, dtype), jnp.zeros(d, dtype))
+def welford_init(d, dtype=jnp.float32, dense: bool = False):
+    """``dense=True`` accumulates the full (d, d) scatter matrix for the
+    dense metric (Stan's ``dense_e``); default is the diagonal estimator."""
+    m2 = jnp.zeros((d, d) if dense else d, dtype)
+    return WelfordState(jnp.zeros((), dtype), jnp.zeros(d, dtype), m2)
 
 
 def welford_update(state: WelfordState, x) -> WelfordState:
     count = state.count + 1.0
     delta = x - state.mean
     mean = state.mean + delta / count
-    m2 = state.m2 + delta * (x - mean)
+    if state.m2.ndim == 2:
+        m2 = state.m2 + jnp.outer(delta, x - mean)
+    else:
+        m2 = state.m2 + delta * (x - mean)
     return WelfordState(count, mean, m2)
 
 
@@ -76,19 +83,32 @@ def welford_update_batch(state: WelfordState, xs) -> WelfordState:
 
     c = xs.shape[0]
     batch_mean = _jnp.mean(xs, axis=0)
-    batch_m2 = _jnp.sum((xs - batch_mean) ** 2, axis=0)
+    centered = xs - batch_mean
     count = state.count + c
     delta = batch_mean - state.mean
     mean = state.mean + delta * (c / count)
-    m2 = state.m2 + batch_m2 + delta**2 * (state.count * c / count)
+    if state.m2.ndim == 2:
+        batch_m2 = centered.T @ centered
+        m2 = (state.m2 + batch_m2
+              + _jnp.outer(delta, delta) * (state.count * c / count))
+    else:
+        batch_m2 = _jnp.sum(centered**2, axis=0)
+        m2 = state.m2 + batch_m2 + delta**2 * (state.count * c / count)
     return WelfordState(count, mean, m2)
 
 
 def welford_variance(state: WelfordState):
-    """Regularized variance estimate (Stan's shrinkage toward unit)."""
+    """Regularized variance/covariance estimate (Stan's shrinkage toward
+    unit): diag m2 -> (d,) variances; dense m2 -> (d, d) covariance with the
+    identity-scaled ridge keeping the estimate positive definite through the
+    early short windows."""
     n = jnp.maximum(state.count, 1.0)
     var = state.m2 / jnp.maximum(n - 1.0, 1.0)
-    return (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+    shrink = n / (n + 5.0)
+    ridge = 1e-3 * (5.0 / (n + 5.0))
+    if state.m2.ndim == 2:
+        return shrink * var + ridge * jnp.eye(state.m2.shape[0], dtype=state.m2.dtype)
+    return shrink * var + ridge
 
 
 def build_schedule(num_warmup: int, init_buffer: int = 75, term_buffer: int = 50,
@@ -142,19 +162,19 @@ def build_segments(num_warmup: int, init_buffer: int = 75, term_buffer: int = 50
     return tuple(s for s in segments if s[0] > 0)
 
 
-def find_reasonable_step_size(value_and_grad_fn, z, logp, grad, inv_mass_diag,
+def find_reasonable_step_size(value_and_grad_fn, z, logp, grad, inv_mass,
                               key, init_step=1.0, target=0.8):
     """Double/halve the step until the one-step acceptance crosses 0.5
     (Hoffman & Gelman Algorithm 4), as a bounded jittable loop."""
-    from .integrators import IntegratorState, kinetic, leapfrog
+    from .integrators import IntegratorState, kinetic, leapfrog, sample_momentum
 
-    r0 = jax.random.normal(key, z.shape, z.dtype) / jnp.sqrt(inv_mass_diag)
+    r0 = sample_momentum(key, inv_mass, z.shape, z.dtype)
     s0 = IntegratorState(z, r0, logp, grad)
-    joint0 = logp - kinetic(r0, inv_mass_diag)
+    joint0 = logp - kinetic(r0, inv_mass)
 
     def accept_logp(step):
-        s1 = leapfrog(value_and_grad_fn, s0, step, inv_mass_diag)
-        out = s1.logp - kinetic(s1.r, inv_mass_diag) - joint0
+        s1 = leapfrog(value_and_grad_fn, s0, step, inv_mass)
+        out = s1.logp - kinetic(s1.r, inv_mass) - joint0
         return jnp.where(jnp.isnan(out), -jnp.inf, out)
 
     init_dir = jnp.where(accept_logp(init_step) > jnp.log(0.5), 1.0, -1.0)

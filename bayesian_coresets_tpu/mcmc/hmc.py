@@ -13,7 +13,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .integrators import IntegratorState, kinetic, leapfrog
+from .integrators import (IntegratorState, kinetic, leapfrog,
+                          sample_momentum)
 
 
 class HMCInfo(NamedTuple):
@@ -22,7 +23,7 @@ class HMCInfo(NamedTuple):
 
 
 def hmc_kernel(value_and_grad_fn: Callable, key, state: IntegratorState,
-               step_size, inv_mass_diag, num_steps: int = 32,
+               step_size, inv_mass, num_steps: int = 32,
                jitter_steps: bool = True):
     """One Metropolis-corrected HMC transition with ``num_steps`` leapfrogs.
 
@@ -31,9 +32,9 @@ def hmc_kernel(value_and_grad_fn: Callable, key, state: IntegratorState,
     trajectories resonating with the target's frequencies.
     """
     km, ka, kj = jax.random.split(key, 3)
-    r0 = jax.random.normal(km, state.z.shape, state.z.dtype) / jnp.sqrt(inv_mass_diag)
+    r0 = sample_momentum(km, inv_mass, state.z.shape, state.z.dtype)
     s0 = IntegratorState(state.z, r0, state.logp, state.grad)
-    joint0 = s0.logp - kinetic(r0, inv_mass_diag)
+    joint0 = s0.logp - kinetic(r0, inv_mass)
 
     if jitter_steps:
         n_steps = jax.random.randint(kj, (), 1, num_steps + 1)
@@ -41,10 +42,10 @@ def hmc_kernel(value_and_grad_fn: Callable, key, state: IntegratorState,
         n_steps = num_steps
 
     def body(_, s):
-        return leapfrog(value_and_grad_fn, s, step_size, inv_mass_diag)
+        return leapfrog(value_and_grad_fn, s, step_size, inv_mass)
 
     s1 = jax.lax.fori_loop(0, n_steps, body, s0)
-    joint1 = s1.logp - kinetic(s1.r, inv_mass_diag)
+    joint1 = s1.logp - kinetic(s1.r, inv_mass)
     log_accept = jnp.where(jnp.isnan(joint1), -jnp.inf, joint1 - joint0)
     accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(log_accept, 0.0)))
     accepted = jax.random.uniform(ka) < accept_prob

@@ -15,7 +15,8 @@ Design notes (TPU/XLA):
   and each doubling's 2^j leapfrog steps run in a ``lax.while_loop``.
 - Proposals use progressive multinomial sampling within a subtree and
   biased progressive sampling across doublings (Stan's scheme).
-- Divergence threshold 1000 (Stan default); diagonal mass matrix.
+- Divergence threshold 1000 (Stan default); diagonal OR dense mass matrix
+  (``inv_mass`` rank dispatches at trace time — see integrators.py).
 
 The reference's ``control={'max_treedepth': 15}`` (mcmc.py:58-65) maps to
 ``max_depth``.
@@ -28,7 +29,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .integrators import IntegratorState, kinetic, leapfrog
+from .integrators import (IntegratorState, kinetic, leapfrog, mass_mul,
+                          sample_momentum)
 
 DIVERGENCE_THRESHOLD = 1000.0
 
@@ -53,11 +55,11 @@ def _trailing_ones(n):
     return _popcount(n & ~(n + 1))
 
 
-def _is_turning(z_minus, r_minus, z_plus, r_plus, inv_mass_diag):
-    """Original NUTS U-turn criterion with mass-matrix metric."""
+def _is_turning(z_minus, r_minus, z_plus, r_plus, inv_mass):
+    """Original NUTS U-turn criterion with mass-matrix metric (diag or dense)."""
     dz = z_plus - z_minus
-    return (jnp.dot(dz, inv_mass_diag * r_minus) < 0) | \
-           (jnp.dot(dz, inv_mass_diag * r_plus) < 0)
+    return (jnp.dot(dz, mass_mul(inv_mass, r_minus)) < 0) | \
+           (jnp.dot(dz, mass_mul(inv_mass, r_plus)) < 0)
 
 
 class _SubtreeCarry(NamedTuple):
@@ -74,7 +76,7 @@ class _SubtreeCarry(NamedTuple):
 
 
 def _build_subtree(value_and_grad_fn, start: IntegratorState, num_steps, step,
-                   inv_mass_diag, joint0, max_depth, key):
+                   inv_mass, joint0, max_depth, key):
     """Simulate ``num_steps`` leapfrog steps from ``start``; returns the
     subtree proposal, accumulated weight, endpoint, and termination flags."""
     d = start.z.shape[0]
@@ -83,8 +85,8 @@ def _build_subtree(value_and_grad_fn, start: IntegratorState, num_steps, step,
         return (c.i < num_steps) & ~c.turning & ~c.diverging
 
     def body(c: _SubtreeCarry) -> _SubtreeCarry:
-        s = leapfrog(value_and_grad_fn, c.s, step, inv_mass_diag)
-        logw_leaf = s.logp - kinetic(s.r, inv_mass_diag) - joint0
+        s = leapfrog(value_and_grad_fn, c.s, step, inv_mass)
+        logw_leaf = s.logp - kinetic(s.r, inv_mass) - joint0
         # a leaf with non-finite position/GRADIENT must never be proposed
         # even when its logp is finite: caching an inf gradient poisons
         # every later leapfrog and step-size search from that chain
@@ -120,8 +122,8 @@ def _build_subtree(value_and_grad_fn, start: IntegratorState, num_steps, step,
         ks = jnp.arange(max_depth)
         in_range = (ks >= idx_min) & (ks <= idx_max) & ~is_even
         dz = s.z[None, :] - ckpt_z                        # (max_depth, d)
-        t_minus = jnp.sum(dz * (inv_mass_diag[None, :] * ckpt_r), axis=1) < 0
-        t_plus = (dz @ (inv_mass_diag * s.r)) < 0
+        t_minus = jnp.sum(dz * mass_mul(inv_mass, ckpt_r), axis=1) < 0
+        t_plus = (dz @ mass_mul(inv_mass, s.r)) < 0
         turning = c.turning | jnp.any(in_range & (t_minus | t_plus))
 
         return _SubtreeCarry(s, ckpt_z, ckpt_r, prop, new_logw,
@@ -157,12 +159,12 @@ class _TreeCarry(NamedTuple):
 
 
 def nuts_kernel(value_and_grad_fn: Callable, key, state: IntegratorState,
-                step_size, inv_mass_diag, max_depth: int = 10):
+                step_size, inv_mass, max_depth: int = 10):
     """One NUTS transition.  ``state.r`` is ignored (fresh momentum drawn)."""
     key, km = jax.random.split(key)
-    r0 = jax.random.normal(km, state.z.shape, state.z.dtype) / jnp.sqrt(inv_mass_diag)
+    r0 = sample_momentum(km, inv_mass, state.z.shape, state.z.dtype)
     s0 = IntegratorState(state.z, r0, state.logp, state.grad)
-    joint0 = s0.logp - kinetic(r0, inv_mass_diag)
+    joint0 = s0.logp - kinetic(r0, inv_mass)
 
     def cond(c: _TreeCarry):
         return (c.depth < max_depth) & ~c.turning & ~c.diverging
@@ -175,7 +177,7 @@ def nuts_kernel(value_and_grad_fn: Callable, key, state: IntegratorState,
         num_steps = jnp.int32(1) << c.depth
 
         sub = _build_subtree(value_and_grad_fn, start, num_steps, signed_step,
-                             inv_mass_diag, joint0, max_depth, ks)
+                             inv_mass, joint0, max_depth, ks)
 
         ok = ~sub.turning & ~sub.diverging
         # biased progressive sampling across doublings (Stan)
@@ -186,7 +188,7 @@ def nuts_kernel(value_and_grad_fn: Callable, key, state: IntegratorState,
 
         left = jax.tree.map(lambda a, b: jnp.where(go_right, b, a), sub.s, c.left)
         right = jax.tree.map(lambda a, b: jnp.where(go_right, a, b), sub.s, c.right)
-        whole_turn = ok & _is_turning(left.z, left.r, right.z, right.r, inv_mass_diag)
+        whole_turn = ok & _is_turning(left.z, left.r, right.z, right.r, inv_mass)
 
         return _TreeCarry(
             left=left, right=right, prop=prop, logw=logw,

@@ -33,23 +33,23 @@ class MCMCResult(NamedTuple):
     accept_prob: jax.Array    # (num_chains,) mean sampling-phase acceptance
     num_divergent: jax.Array  # (num_chains,)
     step_size: jax.Array      # (num_chains,) adapted step size
-    inv_mass_diag: jax.Array  # (num_chains, d)
+    inv_mass_diag: jax.Array  # (num_chains, d) diag metric, (num_chains, d, d) dense
 
 
 def _single_chain(logdensity_fn, init_z, key, segments, num_samples,
-                  max_depth, target_accept):
+                  max_depth, target_accept, dense_mass=False):
     vg = jax.value_and_grad(logdensity_fn)
     logp0, grad0 = vg(init_z)
     d = init_z.shape[0]
     dtype = init_z.dtype
 
     key, k_find = jax.random.split(key)
-    inv_mass = jnp.ones(d, dtype)
+    inv_mass = jnp.eye(d, dtype=dtype) if dense_mass else jnp.ones(d, dtype)
     step0 = find_reasonable_step_size(vg, init_z, logp0, grad0, inv_mass, k_find)
 
     state = IntegratorState(init_z, jnp.zeros(d, dtype), logp0, grad0)
     da = da_init(step0)
-    wf = welford_init(d, dtype)
+    wf = welford_init(d, dtype, dense=dense_mass)
 
     # one scan per (static) schedule segment; the mass matrix is a captured
     # constant within each segment.  At window boundaries: swap in the new
@@ -75,7 +75,7 @@ def _single_chain(logdensity_fn, init_z, key, segments, num_samples,
                 vg, state.z, state.logp, state.grad, inv_mass, k_find,
                 init_step=jnp.exp(da.log_step))
             da = da_init(step_b)
-            wf = welford_init(d, dtype)
+            wf = welford_init(d, dtype, dense=dense_mass)
 
     step_size = jnp.exp(da.log_step_avg)
 
@@ -91,7 +91,7 @@ def _single_chain(logdensity_fn, init_z, key, segments, num_samples,
 
 
 def _pooled_chains(logdensity_fn, init_params, key, segments, num_samples,
-                   max_depth, target_accept):
+                   max_depth, target_accept, dense_mass=False):
     """Warmup with CROSS-CHAIN pooled adaptation: one shared step size driven
     by the mean acceptance statistic over all chains, and one shared mass
     matrix estimated from every chain's positions (Chan-merged Welford).
@@ -105,11 +105,11 @@ def _pooled_chains(logdensity_fn, init_params, key, segments, num_samples,
     states = IntegratorState(init_params, jnp.zeros_like(init_params), logp0, grad0)
 
     key, k_find = jax.random.split(key)
-    inv_mass = jnp.ones(d, dtype)
+    inv_mass = jnp.eye(d, dtype=dtype) if dense_mass else jnp.ones(d, dtype)
     step0 = find_reasonable_step_size(vg, init_params[0], logp0[0], grad0[0],
                                       inv_mass, k_find)
     da = da_init(step0)
-    wf = welford_init(d, dtype)
+    wf = welford_init(d, dtype, dense=dense_mass)
 
     kernel = jax.vmap(
         lambda k, s, step, im: nuts_kernel(vg, k, s, step, im, max_depth),
@@ -135,7 +135,7 @@ def _pooled_chains(logdensity_fn, init_params, key, segments, num_samples,
                 vg, states.z[0], states.logp[0], states.grad[0], inv_mass,
                 k_find, init_step=jnp.exp(da.log_step))
             da = da_init(step_b)
-            wf = welford_init(d, dtype)
+            wf = welford_init(d, dtype, dense=dense_mass)
 
     step_size = jnp.exp(da.log_step_avg)
 
@@ -151,15 +151,18 @@ def _pooled_chains(logdensity_fn, init_params, key, segments, num_samples,
     # zs: (num_samples, chains, d) -> (chains, num_samples, d)
     zs = jnp.swapaxes(zs, 0, 1)
     return (zs, jnp.mean(accepts, axis=0), jnp.sum(divs, axis=0),
-            jnp.full((num_chains,), step_size), jnp.tile(inv_mass, (num_chains, 1)))
+            jnp.full((num_chains,), step_size),
+            jnp.broadcast_to(inv_mass, (num_chains,) + inv_mass.shape))
 
 
 @partial(jax.jit, static_argnames=("logdensity_fn", "num_warmup", "num_samples",
-                                   "max_depth", "pooled_adaptation"))
+                                   "max_depth", "pooled_adaptation",
+                                   "dense_mass"))
 def run_nuts(logdensity_fn: Callable, init_params: jax.Array, key,
              num_warmup: int = 1000, num_samples: int = 1000,
              max_depth: int = 10, target_accept: float = 0.8,
-             pooled_adaptation: bool = False) -> MCMCResult:
+             pooled_adaptation: bool = False,
+             dense_mass: bool = False) -> MCMCResult:
     """Sample with NUTS.  ``init_params``: (num_chains, d); returns all chains.
 
     ``target_accept`` default 0.8; the reference drivers use Stan's
@@ -167,6 +170,13 @@ def run_nuts(logdensity_fn: Callable, init_params: jax.Array, key,
     ``pooled_adaptation=True`` shares step-size/mass adaptation across all
     chains (collective statistics; reduces warmup variance and keeps sharded
     chains in lockstep).
+
+    ``dense_mass=True`` adapts a FULL (d, d) covariance metric (Stan's
+    ``dense_e``) instead of the diagonal: the windowed Welford estimator
+    accumulates the scatter matrix and the regularized covariance becomes
+    the inverse mass (see integrators.py).  Use for strongly correlated
+    posteriors no diagonal rescaling can equalize; ``inv_mass_diag`` in the
+    result then holds the (num_chains, d, d) inverse-mass matrices.
     """
     segments = build_segments(num_warmup)
     num_chains = init_params.shape[0]
@@ -174,12 +184,13 @@ def run_nuts(logdensity_fn: Callable, init_params: jax.Array, key,
     if pooled_adaptation:
         zs, acc, divs, steps, inv_mass = _pooled_chains(
             logdensity_fn, init_params, key, segments, num_samples,
-            max_depth, target_accept)
+            max_depth, target_accept, dense_mass=dense_mass)
         return MCMCResult(zs, acc, divs, steps, inv_mass)
 
     keys = jax.random.split(key, num_chains)
     chain = partial(_single_chain, logdensity_fn,
                     segments=segments, num_samples=num_samples,
-                    max_depth=max_depth, target_accept=target_accept)
+                    max_depth=max_depth, target_accept=target_accept,
+                    dense_mass=dense_mass)
     zs, acc, divs, steps, inv_mass = jax.vmap(chain)(init_params, keys)
     return MCMCResult(zs, acc, divs, steps, inv_mass)

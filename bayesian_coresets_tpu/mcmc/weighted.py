@@ -88,7 +88,7 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
         num_chains: int = 1, max_depth: int = 10, target_accept: float = 0.9,
         init: jax.Array | None = None, pooled_adaptation: bool = False,
         num_warmup: int | None = None, precondition: bool = True,
-        f64_logdensity: bool = False):
+        f64_logdensity: bool = False, dense_mass: bool = False):
     """Weighted-posterior NUTS with the reference driver's conventions.
 
     Mirrors ``mcmc.run(...) -> (samples, t_sample)`` (reference
@@ -111,6 +111,11 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
     the source.  Diagnostics in the returned MCMCResult are transformed
     back to theta space; ``step_size``/``inv_mass_diag`` describe u space.
     Pass ``init`` (theta-space chain inits) to disable preconditioning.
+
+    ``dense_mass=True`` adapts a full covariance metric (Stan's ``dense_e``)
+    — the principled control when the (possibly preconditioned) posterior
+    stays correlated beyond what a diagonal can fix (e.g. airportdelays'
+    d=16 extreme weight concentration).
     Returns (samples (num_chains*n_samples, d), wall_seconds, MCMCResult).
     """
     z = jnp.asarray(z)
@@ -168,7 +173,8 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
                                            num_samples=n_samples,
                                            max_depth=max_depth,
                                            target_accept=target_accept,
-                                           pooled_adaptation=pooled_adaptation)
+                                           pooled_adaptation=pooled_adaptation,
+                                           dense_mass=dense_mass)
                 jax.block_until_ready(res.samples)
                 t = time.perf_counter() - t0
             theta = res.samples @ A.T + mu          # (chains, draws, d)
@@ -183,7 +189,8 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
                                    num_warmup=num_warmup or n_samples,
                                    num_samples=n_samples, max_depth=max_depth,
                                    target_accept=target_accept,
-                                   pooled_adaptation=pooled_adaptation)
+                                   pooled_adaptation=pooled_adaptation,
+                                   dense_mass=dense_mass)
         jax.block_until_ready(res.samples)
         t = time.perf_counter() - t0
         samples = res.samples.reshape(-1, d)

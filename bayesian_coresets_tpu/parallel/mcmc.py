@@ -20,7 +20,8 @@ from .mesh import CHAIN_AXIS
 def run_nuts_sharded(logdensity_fn, init_params, key, mesh: Mesh,
                      num_warmup: int = 1000, num_samples: int = 1000,
                      max_depth: int = 10, target_accept: float = 0.8,
-                     pooled_adaptation: bool = False) -> MCMCResult:
+                     pooled_adaptation: bool = False,
+                     dense_mass: bool = False) -> MCMCResult:
     """run_nuts with chains sharded over the mesh's chain axis.
 
     init_params: (num_chains, d); num_chains must be a multiple of the chain
@@ -34,4 +35,5 @@ def run_nuts_sharded(logdensity_fn, init_params, key, mesh: Mesh,
     return run_nuts(logdensity_fn, init_params, key, num_warmup=num_warmup,
                     num_samples=num_samples, max_depth=max_depth,
                     target_accept=target_accept,
-                    pooled_adaptation=pooled_adaptation)
+                    pooled_adaptation=pooled_adaptation,
+                    dense_mass=dense_mass)

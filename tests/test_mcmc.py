@@ -247,3 +247,100 @@ class TestPoisonedStateRobustness:
 
         state, _, ok = run(state, jax.random.key(1))
         assert bool(ok), "a non-finite-gradient state was cached"
+
+
+class TestDenseMass:
+    """Dense (d, d) metric adaptation (Stan's dense_e; see integrators.py)."""
+
+    def test_welford_covariance_matches_numpy(self):
+        from bayesian_coresets_tpu.mcmc.adapt import (
+            welford_init, welford_update, welford_update_batch,
+            welford_variance)
+        rng = np.random.default_rng(0)
+        xs = rng.normal(size=(64, 3)).astype(np.float32)
+        xs[:, 1] += 2.0 * xs[:, 0]
+
+        wf = welford_init(3, dense=True)
+        for x in xs:
+            wf = welford_update(wf, jnp.asarray(x))
+        est = np.asarray(welford_variance(wf))
+        n = 64.0
+        expect = (n / (n + 5.0)) * np.cov(xs.T) + 1e-3 * (5.0 / (n + 5.0)) * np.eye(3)
+        np.testing.assert_allclose(est, expect, rtol=2e-4, atol=2e-5)
+
+        # batched (Chan) merge must agree with the sequential accumulation
+        wfb = welford_init(3, dense=True)
+        for chunk in xs.reshape(8, 8, 3):
+            wfb = welford_update_batch(wfb, jnp.asarray(chunk))
+        np.testing.assert_allclose(np.asarray(welford_variance(wfb)), expect,
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_correlated_gaussian_recovers_full_covariance(self):
+        # rho=0.99 correlation between dims 0,1 — a diagonal metric cannot
+        # equalize this geometry; the dense metric must recover the target
+        # covariance including the independent dim's variance
+        rho = 0.99
+        cov = np.array([[1.0, rho, 0.0], [rho, 1.0, 0.0], [0.0, 0.0, 4.0]])
+        prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+        logp = lambda th: -0.5 * th @ (prec @ th)
+        res = run_nuts(logp, jnp.zeros((2, 3)), jax.random.key(0),
+                       num_warmup=600, num_samples=600, dense_mass=True)
+        assert res.inv_mass_diag.shape == (2, 3, 3)
+        s = np.asarray(res.samples).reshape(-1, 3)
+        got = np.cov(s, rowvar=False)
+        np.testing.assert_allclose(got, cov, rtol=0.2, atol=0.15)
+        # the adapted metric itself captures the correlation
+        im = np.asarray(res.inv_mass_diag[0])
+        assert im[0, 1] / np.sqrt(im[0, 0] * im[1, 1]) > 0.9
+        assert (np.asarray(split_rhat(res.samples)) < 1.05).all()
+
+    def test_pooled_dense(self):
+        rho = 0.95
+        cov = np.array([[1.0, rho], [rho, 1.0]])
+        prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+        logp = lambda th: -0.5 * th @ (prec @ th)
+        res = run_nuts(logp, jnp.zeros((4, 2)), jax.random.key(3),
+                       num_warmup=500, num_samples=400, dense_mass=True,
+                       pooled_adaptation=True)
+        assert res.inv_mass_diag.shape == (4, 2, 2)
+        s = np.asarray(res.samples).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(s, rowvar=False), cov,
+                                   rtol=0.2, atol=0.15)
+
+    def test_hmc_kernel_dense_metric(self):
+        cov = np.array([[1.0, 0.9], [0.9, 1.0]])
+        prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+        logp = lambda th: -0.5 * th @ (prec @ th)
+        vg = jax.value_and_grad(logp)
+        inv_mass = jnp.asarray(cov, jnp.float32)  # exact metric
+        lp, g = vg(jnp.zeros(2))
+        st = IntegratorState(jnp.zeros(2), jnp.zeros(2), lp, g)
+
+        def step(st, k):
+            st, info = hmc_kernel(vg, k, st, 0.5, inv_mass, num_steps=8)
+            return st, (st.z, info.accept_prob)
+
+        _, (zs, acc) = jax.lax.scan(step, st,
+                                    jax.random.split(jax.random.key(0), 1500))
+        zs = np.asarray(zs)[300:]
+        # with the exact metric the kernel moves in whitened space: high
+        # acceptance AND full exploration of the correlated direction
+        assert float(np.mean(np.asarray(acc)[300:])) > 0.8
+        np.testing.assert_allclose(np.cov(zs.T), cov, rtol=0.25, atol=0.15)
+
+    def test_weighted_run_dense_mass(self):
+        # end-to-end through mcmc.run on a weighted logistic posterior
+        from bayesian_coresets_tpu.mcmc import weighted
+        key = jax.random.key(0)
+        x = jax.random.normal(key, (40, 2))
+        y = jnp.sign(x[:, 0] + 0.5 * x[:, 1] + 0.1)
+        z = jnp.concatenate([x * y[:, None], y[:, None]], axis=1)
+        wts = jnp.ones(40)
+        s_dense, _, res = weighted.run(logistic, z, wts, 300, jax.random.key(1),
+                                       num_chains=2, dense_mass=True)
+        s_diag, _, _ = weighted.run(logistic, z, wts, 300, jax.random.key(1),
+                                    num_chains=2, dense_mass=False)
+        # same posterior either way (dense is a sampler control, not a model
+        # change): posterior means agree
+        np.testing.assert_allclose(np.asarray(s_dense).mean(0),
+                                   np.asarray(s_diag).mean(0), atol=0.25)
