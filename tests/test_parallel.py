@@ -53,6 +53,19 @@ def test_sharded_chains(cpu_devices):
     np.testing.assert_allclose(s.std(0), np.ones(3), atol=0.1)
 
 
+def test_sharded_chains_dense_mass(cpu_devices):
+    # dense (d, d) metric through the sharded-chain path: correlated target
+    mesh = make_mesh({"chains": 8})
+    prec = jnp.linalg.inv(jnp.asarray([[1.0, 0.9], [0.9, 1.0]]))
+    logp = lambda th: -0.5 * th @ (prec @ th)
+    res = run_nuts_sharded(logp, jnp.zeros((8, 2)), jax.random.key(1), mesh,
+                           num_warmup=200, num_samples=200, dense_mass=True,
+                           pooled_adaptation=True)
+    assert res.inv_mass_diag.shape == (8, 2, 2)
+    s = np.asarray(res.samples).reshape(-1, 2)
+    assert abs(np.cov(s.T)[0, 1] - 0.9) < 0.2
+
+
 def test_graft_entry_compiles(cpu_devices):
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
