@@ -88,7 +88,11 @@ def welford_update_batch(state: WelfordState, xs) -> WelfordState:
     delta = batch_mean - state.mean
     mean = state.mean + delta * (c / count)
     if state.m2.ndim == 2:
-        batch_m2 = centered.T @ centered
+        # full-f32 scatter: this matrix becomes the inverse mass, and bf16
+        # matmul inputs (the TPU default) would bake ~0.8% relative noise
+        # into the metric NUTS integrates under (see integrators.mass_mul)
+        batch_m2 = _jnp.matmul(centered.T, centered,
+                               precision=jax.lax.Precision.HIGHEST)
         m2 = (state.m2 + batch_m2
               + _jnp.outer(delta, delta) * (state.count * c / count))
     else:
@@ -107,7 +111,12 @@ def welford_variance(state: WelfordState):
     shrink = n / (n + 5.0)
     ridge = 1e-3 * (5.0 / (n + 5.0))
     if state.m2.ndim == 2:
-        return shrink * var + ridge * jnp.eye(state.m2.shape[0], dtype=state.m2.dtype)
+        cov = shrink * var + ridge * jnp.eye(state.m2.shape[0], dtype=state.m2.dtype)
+        # the accumulated outer(delta, x - mean) is symmetric only in exact
+        # arithmetic; Cholesky reads one triangle but mass_mul uses the full
+        # matrix, so symmetrize to keep metric ops and sampled momenta in
+        # exact agreement
+        return 0.5 * (cov + cov.T)
     return shrink * var + ridge
 
 
@@ -163,12 +172,14 @@ def build_segments(num_warmup: int, init_buffer: int = 75, term_buffer: int = 50
 
 
 def find_reasonable_step_size(value_and_grad_fn, z, logp, grad, inv_mass,
-                              key, init_step=1.0, target=0.8):
+                              key, init_step=1.0, target=0.8, chol=None):
     """Double/halve the step until the one-step acceptance crosses 0.5
-    (Hoffman & Gelman Algorithm 4), as a bounded jittable loop."""
+    (Hoffman & Gelman Algorithm 4), as a bounded jittable loop.
+
+    ``chol``: optional precomputed ``mass_chol(inv_mass)``."""
     from .integrators import IntegratorState, kinetic, leapfrog, sample_momentum
 
-    r0 = sample_momentum(key, inv_mass, z.shape, z.dtype)
+    r0 = sample_momentum(key, inv_mass, z.shape, z.dtype, chol=chol)
     s0 = IntegratorState(z, r0, logp, grad)
     joint0 = logp - kinetic(r0, inv_mass)
 

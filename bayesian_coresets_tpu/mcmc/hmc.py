@@ -24,15 +24,17 @@ class HMCInfo(NamedTuple):
 
 def hmc_kernel(value_and_grad_fn: Callable, key, state: IntegratorState,
                step_size, inv_mass, num_steps: int = 32,
-               jitter_steps: bool = True):
+               jitter_steps: bool = True, inv_mass_chol=None):
     """One Metropolis-corrected HMC transition with ``num_steps`` leapfrogs.
 
     ``jitter_steps`` draws the trajectory length uniformly in
     [1, num_steps] each transition — the standard guard against periodic
     trajectories resonating with the target's frequencies.
+    ``inv_mass_chol``: optional precomputed ``mass_chol(inv_mass)``.
     """
     km, ka, kj = jax.random.split(key, 3)
-    r0 = sample_momentum(km, inv_mass, state.z.shape, state.z.dtype)
+    r0 = sample_momentum(km, inv_mass, state.z.shape, state.z.dtype,
+                         chol=inv_mass_chol)
     s0 = IntegratorState(state.z, r0, state.logp, state.grad)
     joint0 = s0.logp - kinetic(r0, inv_mass)
 

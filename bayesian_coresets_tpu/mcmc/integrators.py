@@ -33,20 +33,41 @@ class IntegratorState(NamedTuple):
 
 def mass_mul(inv_mass, r):
     """M^{-1} r (the metric velocity).  ``r`` may be (d,) or batched (K, d);
-    the dense inverse mass is symmetric so ``r @ inv_mass`` covers both."""
+    the dense inverse mass is symmetric so ``r @ inv_mass`` covers both.
+
+    The dense matmul pins full-f32 precision: TPU matmuls default to bf16
+    inputs, and NUTS energy differences are exactly the quantity this repo
+    documents (weighted.py) as poisoned by bf16 — a direct
+    run_nuts(dense_mass=True) must be safe without the caller wrapping it
+    in default_matmul_precision('highest').  At d<=16 the cost is nil."""
     if inv_mass.ndim == 1:
         return r * inv_mass
-    return r @ inv_mass
+    return jnp.matmul(r, inv_mass, precision=jax.lax.Precision.HIGHEST)
 
 
-def sample_momentum(key, inv_mass, shape, dtype):
-    """Draw r ~ N(0, M) for the given metric (M = inv_mass^{-1})."""
-    u = jax.random.normal(key, shape, dtype)
+def mass_chol(inv_mass):
+    """Factor of the inverse mass used by ``sample_momentum``: sqrt for the
+    diagonal metric, the lower-Cholesky L (Sigma = L L^T) for dense.  The
+    metric is constant within every warmup segment and the whole sampling
+    phase, so callers factor ONCE per segment and pass the result down
+    instead of re-factoring every transition."""
     if inv_mass.ndim == 1:
-        return u / jnp.sqrt(inv_mass)
+        return jnp.sqrt(inv_mass)
+    return jnp.linalg.cholesky(inv_mass)
+
+
+def sample_momentum(key, inv_mass, shape, dtype, chol=None):
+    """Draw r ~ N(0, M) for the given metric (M = inv_mass^{-1}).
+
+    ``chol``: optional precomputed ``mass_chol(inv_mass)`` (avoids a
+    per-transition Cholesky in dense mode)."""
+    u = jax.random.normal(key, shape, dtype)
+    if chol is None:
+        chol = mass_chol(inv_mass)
+    if inv_mass.ndim == 1:
+        return u / chol
     # Sigma = L L^T  =>  M = L^{-T} L^{-1};  r = L^{-T} u has cov M
-    L = jnp.linalg.cholesky(inv_mass)
-    return jax.scipy.linalg.solve_triangular(L.T, u, lower=False)
+    return jax.scipy.linalg.solve_triangular(chol.T, u, lower=False)
 
 
 def leapfrog(value_and_grad_fn: Callable, state: IntegratorState, step_size,

@@ -159,10 +159,14 @@ class _TreeCarry(NamedTuple):
 
 
 def nuts_kernel(value_and_grad_fn: Callable, key, state: IntegratorState,
-                step_size, inv_mass, max_depth: int = 10):
-    """One NUTS transition.  ``state.r`` is ignored (fresh momentum drawn)."""
+                step_size, inv_mass, max_depth: int = 10, inv_mass_chol=None):
+    """One NUTS transition.  ``state.r`` is ignored (fresh momentum drawn).
+
+    ``inv_mass_chol``: optional precomputed ``mass_chol(inv_mass)`` so dense
+    metrics are factored once per adaptation segment, not per transition."""
     key, km = jax.random.split(key)
-    r0 = sample_momentum(km, inv_mass, state.z.shape, state.z.dtype)
+    r0 = sample_momentum(km, inv_mass, state.z.shape, state.z.dtype,
+                         chol=inv_mass_chol)
     s0 = IntegratorState(state.z, r0, state.logp, state.grad)
     joint0 = s0.logp - kinetic(r0, inv_mass)
 

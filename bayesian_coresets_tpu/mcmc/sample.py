@@ -24,7 +24,7 @@ from .adapt import (
     welford_update_batch,
     welford_variance,
 )
-from .integrators import IntegratorState
+from .integrators import IntegratorState, mass_chol
 from .nuts import nuts_kernel
 
 
@@ -33,7 +33,13 @@ class MCMCResult(NamedTuple):
     accept_prob: jax.Array    # (num_chains,) mean sampling-phase acceptance
     num_divergent: jax.Array  # (num_chains,)
     step_size: jax.Array      # (num_chains,) adapted step size
-    inv_mass_diag: jax.Array  # (num_chains, d) diag metric, (num_chains, d, d) dense
+    inv_mass: jax.Array       # (num_chains, d) diag metric, (num_chains, d, d) dense
+
+    @property
+    def inv_mass_diag(self):
+        """Deprecated alias from before the dense metric existed — the field
+        holds full (d, d) matrices in dense mode, so the name lied."""
+        return self.inv_mass
 
 
 def _single_chain(logdensity_fn, init_z, key, segments, num_samples,
@@ -45,22 +51,26 @@ def _single_chain(logdensity_fn, init_z, key, segments, num_samples,
 
     key, k_find = jax.random.split(key)
     inv_mass = jnp.eye(d, dtype=dtype) if dense_mass else jnp.ones(d, dtype)
-    step0 = find_reasonable_step_size(vg, init_z, logp0, grad0, inv_mass, k_find)
+    chol = mass_chol(inv_mass)
+    step0 = find_reasonable_step_size(vg, init_z, logp0, grad0, inv_mass,
+                                      k_find, chol=chol)
 
     state = IntegratorState(init_z, jnp.zeros(d, dtype), logp0, grad0)
     da = da_init(step0)
     wf = welford_init(d, dtype, dense=dense_mass)
 
-    # one scan per (static) schedule segment; the mass matrix is a captured
-    # constant within each segment.  At window boundaries: swap in the new
-    # mass, RE-SEARCH a reasonable step size under it, restart dual
-    # averaging and Welford (Stan semantics — see adapt.build_segments).
+    # one scan per (static) schedule segment; the mass matrix AND its
+    # momentum factor are captured constants within each segment (the
+    # Cholesky happens once per boundary, not per transition).  At window
+    # boundaries: swap in the new mass, RE-SEARCH a reasonable step size
+    # under it, restart dual averaging and Welford (Stan semantics — see
+    # adapt.build_segments).
     for length, slow, boundary in segments:
-        def warmup_step(carry, _, inv_mass=inv_mass, slow=slow):
+        def warmup_step(carry, _, inv_mass=inv_mass, chol=chol, slow=slow):
             state, da, wf, key = carry
             key, k = jax.random.split(key)
             state, info = nuts_kernel(vg, k, state, jnp.exp(da.log_step),
-                                      inv_mass, max_depth)
+                                      inv_mass, max_depth, inv_mass_chol=chol)
             da = da_update(da, info.accept_prob, target=target_accept)
             if slow:
                 wf = welford_update(wf, state.z)
@@ -70,10 +80,11 @@ def _single_chain(logdensity_fn, init_z, key, segments, num_samples,
             warmup_step, (state, da, wf, key), None, length=length)
         if boundary:
             inv_mass = welford_variance(wf)
+            chol = mass_chol(inv_mass)
             key, k_find = jax.random.split(key)
             step_b = find_reasonable_step_size(
                 vg, state.z, state.logp, state.grad, inv_mass, k_find,
-                init_step=jnp.exp(da.log_step))
+                init_step=jnp.exp(da.log_step), chol=chol)
             da = da_init(step_b)
             wf = welford_init(d, dtype, dense=dense_mass)
 
@@ -82,7 +93,8 @@ def _single_chain(logdensity_fn, init_z, key, segments, num_samples,
     def sample_step(carry, _):
         state, key = carry
         key, k = jax.random.split(key)
-        state, info = nuts_kernel(vg, k, state, step_size, inv_mass, max_depth)
+        state, info = nuts_kernel(vg, k, state, step_size, inv_mass, max_depth,
+                                  inv_mass_chol=chol)
         return (state, key), (state.z, info.accept_prob, info.diverging)
 
     (_, _), (zs, accepts, divs) = jax.lax.scan(
@@ -106,21 +118,24 @@ def _pooled_chains(logdensity_fn, init_params, key, segments, num_samples,
 
     key, k_find = jax.random.split(key)
     inv_mass = jnp.eye(d, dtype=dtype) if dense_mass else jnp.ones(d, dtype)
+    chol = mass_chol(inv_mass)
     step0 = find_reasonable_step_size(vg, init_params[0], logp0[0], grad0[0],
-                                      inv_mass, k_find)
+                                      inv_mass, k_find, chol=chol)
     da = da_init(step0)
     wf = welford_init(d, dtype, dense=dense_mass)
 
     kernel = jax.vmap(
-        lambda k, s, step, im: nuts_kernel(vg, k, s, step, im, max_depth),
-        in_axes=(0, 0, None, None))
+        lambda k, s, step, im, ch: nuts_kernel(vg, k, s, step, im, max_depth,
+                                               inv_mass_chol=ch),
+        in_axes=(0, 0, None, None, None))
 
     for length, slow, boundary in segments:
-        def warmup_step(carry, _, inv_mass=inv_mass, slow=slow):
+        def warmup_step(carry, _, inv_mass=inv_mass, chol=chol, slow=slow):
             states, da, wf, key = carry
             key, k = jax.random.split(key)
             ks = jax.random.split(k, num_chains)
-            states, infos = kernel(ks, states, jnp.exp(da.log_step), inv_mass)
+            states, infos = kernel(ks, states, jnp.exp(da.log_step), inv_mass,
+                                   chol)
             da = da_update(da, jnp.mean(infos.accept_prob), target=target_accept)
             if slow:
                 wf = welford_update_batch(wf, states.z)
@@ -130,10 +145,11 @@ def _pooled_chains(logdensity_fn, init_params, key, segments, num_samples,
             warmup_step, (states, da, wf, key), None, length=length)
         if boundary:
             inv_mass = welford_variance(wf)
+            chol = mass_chol(inv_mass)
             key, k_find = jax.random.split(key)
             step_b = find_reasonable_step_size(
                 vg, states.z[0], states.logp[0], states.grad[0], inv_mass,
-                k_find, init_step=jnp.exp(da.log_step))
+                k_find, init_step=jnp.exp(da.log_step), chol=chol)
             da = da_init(step_b)
             wf = welford_init(d, dtype, dense=dense_mass)
 
@@ -143,7 +159,7 @@ def _pooled_chains(logdensity_fn, init_params, key, segments, num_samples,
         states, key = carry
         key, k = jax.random.split(key)
         ks = jax.random.split(k, num_chains)
-        states, infos = kernel(ks, states, step_size, inv_mass)
+        states, infos = kernel(ks, states, step_size, inv_mass, chol)
         return (states, key), (states.z, infos.accept_prob, infos.diverging)
 
     (_, _), (zs, accepts, divs) = jax.lax.scan(
@@ -175,7 +191,7 @@ def run_nuts(logdensity_fn: Callable, init_params: jax.Array, key,
     ``dense_e``) instead of the diagonal: the windowed Welford estimator
     accumulates the scatter matrix and the regularized covariance becomes
     the inverse mass (see integrators.py).  Use for strongly correlated
-    posteriors no diagonal rescaling can equalize; ``inv_mass_diag`` in the
+    posteriors no diagonal rescaling can equalize; ``inv_mass`` in the
     result then holds the (num_chains, d, d) inverse-mass matrices.
     """
     segments = build_segments(num_warmup)

@@ -109,7 +109,7 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
     adaptation can equalize — the affine change of variables (constant
     Jacobian, no distribution change) removes the conditioning problem at
     the source.  Diagnostics in the returned MCMCResult are transformed
-    back to theta space; ``step_size``/``inv_mass_diag`` describe u space.
+    back to theta space; ``step_size``/``inv_mass`` describe u space.
     Pass ``init`` (theta-space chain inits) to disable preconditioning.
 
     ``dense_mass=True`` adapts a full covariance metric (Stan's ``dense_e``)

@@ -157,8 +157,8 @@ class TestPooledAdaptation:
                                    rtol=0.15, atol=0.1)
         # one shared step size and mass matrix across chains
         assert np.unique(np.asarray(res.step_size)).size == 1
-        assert (np.asarray(res.inv_mass_diag) ==
-                np.asarray(res.inv_mass_diag)[0]).all()
+        assert (np.asarray(res.inv_mass) ==
+                np.asarray(res.inv_mass)[0]).all()
         assert (np.asarray(res.accept_prob) > 0.5).all()
 
 
@@ -285,12 +285,14 @@ class TestDenseMass:
         logp = lambda th: -0.5 * th @ (prec @ th)
         res = run_nuts(logp, jnp.zeros((2, 3)), jax.random.key(0),
                        num_warmup=600, num_samples=600, dense_mass=True)
-        assert res.inv_mass_diag.shape == (2, 3, 3)
+        assert res.inv_mass.shape == (2, 3, 3)
+        # deprecated alias still resolves to the same array
+        assert res.inv_mass_diag is res.inv_mass
         s = np.asarray(res.samples).reshape(-1, 3)
         got = np.cov(s, rowvar=False)
         np.testing.assert_allclose(got, cov, rtol=0.2, atol=0.15)
         # the adapted metric itself captures the correlation
-        im = np.asarray(res.inv_mass_diag[0])
+        im = np.asarray(res.inv_mass[0])
         assert im[0, 1] / np.sqrt(im[0, 0] * im[1, 1]) > 0.9
         assert (np.asarray(split_rhat(res.samples)) < 1.05).all()
 
@@ -302,7 +304,7 @@ class TestDenseMass:
         res = run_nuts(logp, jnp.zeros((4, 2)), jax.random.key(3),
                        num_warmup=500, num_samples=400, dense_mass=True,
                        pooled_adaptation=True)
-        assert res.inv_mass_diag.shape == (4, 2, 2)
+        assert res.inv_mass.shape == (4, 2, 2)
         s = np.asarray(res.samples).reshape(-1, 2)
         np.testing.assert_allclose(np.cov(s, rowvar=False), cov,
                                    rtol=0.2, atol=0.15)

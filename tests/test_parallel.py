@@ -61,7 +61,7 @@ def test_sharded_chains_dense_mass(cpu_devices):
     res = run_nuts_sharded(logp, jnp.zeros((8, 2)), jax.random.key(1), mesh,
                            num_warmup=200, num_samples=200, dense_mass=True,
                            pooled_adaptation=True)
-    assert res.inv_mass_diag.shape == (8, 2, 2)
+    assert res.inv_mass.shape == (8, 2, 2)
     s = np.asarray(res.samples).reshape(-1, 2)
     assert abs(np.cov(s.T)[0, 1] - 0.9) < 0.2
 
