@@ -31,10 +31,16 @@ from .cli import coreset_size_grid, make_parser, step_sched
 
 ALGS = ["SVI", "GIGA-OPT", "GIGA-REAL", "US", "BPSVI"]
 
-# convergence gate on the samples feeding the quality metrics: warn loudly
-# when any dimension's split-R-hat exceeds this (Vehtari et al. 2021
-# recommend 1.01 for production; 1.1 flags outright failures)
-RHAT_GATE = 1.1
+# convergence gates on the samples feeding the quality metrics (Vehtari et
+# al. 2021: gate BOTH mixing and sample size — an R-hat of 1.01 with a bulk
+# ESS of 15 is still a worthless estimate).  Runs failing either gate are
+# retried (see below) and warned about loudly.
+RHAT_GATE = 1.1     # max split-R-hat over dims (1.01 production, 1.1 failure)
+ESS_GATE = 100.0    # min bulk-ESS over dims (Vehtari et al. recommend >=100)
+
+
+def unconverged(rhat: float, ess_v: float, ess_gate: float = ESS_GATE) -> bool:
+    return rhat > RHAT_GATE or ess_v < ess_gate
 
 
 def full_cache_path(arguments) -> str:
@@ -90,6 +96,17 @@ def run(arguments):
     # full_cache_path).  Chains are vmapped with pooled adaptation — the
     # single-chain default is a TPU anti-pattern (sequential tiny ops).
     nc = max(1, int(arguments.mcmc_chains))
+    mesh = None
+    if getattr(arguments, "chain_mesh", False):
+        # route all NUTS through the framework's multi-device chain sharding
+        # (parallel/mcmc.py): on a pod slice each chip runs its resident
+        # chains; on one device this is a no-op placement.  Chains round up
+        # to a multiple of the device count.
+        from ..parallel.mesh import CHAIN_AXIS, make_mesh
+        ndev = len(jax.devices())
+        nc = -(-nc // ndev) * ndev
+        mesh = make_mesh({CHAIN_AXIS: ndev})
+        print(f"chain mesh: {ndev} devices x {nc // ndev} chains/device")
     n_full = -(-arguments.mcmc_samples_full // nc)   # kept draws per chain
     cache = full_cache_path(arguments)
     if os.path.exists(cache):
@@ -109,16 +126,17 @@ def run(arguments):
             target_accept=arguments.target_accept, pooled_adaptation=nc > 1,
             num_warmup=arguments.mcmc_samples_full,
             max_depth=arguments.max_treedepth,
-            dense_mass=arguments.dense_mass)
+            dense_mass=arguments.dense_mass, mesh=mesh)
         full_samples = np.asarray(full_samples)
         full_rhat, full_ess = chain_diagnostics(res_full)
         full_mcmc_time_per_itr = t_full / (nc * n_full * 2)
         os.makedirs("mcmc_cache", exist_ok=True)
         np.savez(cache, samples=full_samples, t=full_mcmc_time_per_itr,
                  rhat=full_rhat, ess=full_ess)
-    if full_rhat > RHAT_GATE:
+    if unconverged(full_rhat, full_ess, arguments.ess_gate):
         print(f"WARNING: full-data chains not converged "
-              f"(max split-R-hat {full_rhat:.3f} > {RHAT_GATE}); "
+              f"(max split-R-hat {full_rhat:.3f} > {RHAT_GATE} or "
+              f"min ESS {full_ess:.0f} < {arguments.ess_gate}); "
               f"metrics below compare against unconverged samples")
 
     mup = full_samples.mean(axis=0)
@@ -261,16 +279,37 @@ def run(arguments):
             target_accept=arguments.target_accept, pooled_adaptation=nc > 1,
             num_warmup=arguments.mcmc_samples_coreset,
             max_depth=arguments.max_treedepth,
-            dense_mass=arguments.dense_mass)
+            dense_mass=arguments.dense_mass, mesh=mesh)
         cst_samples = np.asarray(cst_samples)
         rhats[m], esses[m] = chain_diagnostics(res_cst)
-        if rhats[m] > RHAT_GATE:
-            # extreme weighted posteriors (weight*count ~ 1e6) amplify TPU
-            # f32 transcendental jitter into O(1) energy noise that stalls
-            # adaptation; CPU libm (~0.5 ULP) converges on the same f32
-            # arithmetic, and the coreset data is tiny — retry there
+        if unconverged(rhats[m], esses[m], arguments.ess_gate) \
+                and not arguments.dense_mass:
+            # first retry stays ON the accelerator with the dense (d, d)
+            # metric: the failure mode is residual posterior correlation the
+            # diagonal metric cannot equalize (airportdelays/biketrips), and
+            # dense_e fixes it at the source (see PARITY_RESULTS "Large
+            # reference datasets")
+            print(f"M = {Ms[m]}: coreset chains unconverged "
+                  f"(split-R-hat {rhats[m]:.3f}, min ESS {esses[m]:.0f}); "
+                  f"retrying with dense mass matrix")
+            key, kmc2 = jax.random.split(key)
+            cst_samples, t_cst, res_cst = mcmc.run(
+                model, pts_m, wts_m, n_cst, kmc2, d=dth, num_chains=nc,
+                target_accept=arguments.target_accept,
+                pooled_adaptation=nc > 1,
+                num_warmup=arguments.mcmc_samples_coreset,
+                max_depth=arguments.max_treedepth,
+                dense_mass=True, mesh=mesh)
+            cst_samples = np.asarray(cst_samples)
+            rhats[m], esses[m] = chain_diagnostics(res_cst)
+        if unconverged(rhats[m], esses[m], arguments.ess_gate) \
+                and arguments.cpu_fallback:
+            # last resort, opt-in only: retry on host CPU (libm ~0.5 ULP
+            # transcendentals).  Off by default — the dense-metric retry
+            # above converges every reference dataset on the TPU itself.
             print(f"M = {Ms[m]}: coreset chains unconverged on accelerator "
-                  f"(split-R-hat {rhats[m]:.3f}); retrying on CPU")
+                  f"(split-R-hat {rhats[m]:.3f}, min ESS {esses[m]:.0f}); "
+                  f"retrying on CPU")
             key, kmc2 = jax.random.split(key)
             with jax.default_device(jax.devices("cpu")[0]):
                 cst_samples, t_cst, res_cst = mcmc.run(
@@ -280,12 +319,13 @@ def run(arguments):
                     pooled_adaptation=nc > 1,
                     num_warmup=arguments.mcmc_samples_coreset,
                     max_depth=arguments.max_treedepth,
-                    dense_mass=arguments.dense_mass)
+                    dense_mass=True)
             cst_samples = np.asarray(cst_samples)
             rhats[m], esses[m] = chain_diagnostics(res_cst)
-        if rhats[m] > RHAT_GATE:
+        if unconverged(rhats[m], esses[m], arguments.ess_gate):
             print(f"WARNING: coreset chains at M={Ms[m]} not converged "
-                  f"(max split-R-hat {rhats[m]:.3f} > {RHAT_GATE})")
+                  f"(max split-R-hat {rhats[m]:.3f} > {RHAT_GATE} or "
+                  f"min ESS {esses[m]:.0f} < {arguments.ess_gate})")
 
         muw = cst_samples.mean(axis=0)
         Sigw = np.cov(cst_samples, rowvar=False)
@@ -331,7 +371,21 @@ def main(argv=None):
     parser.add_argument("--dense_mass", action="store_true",
                         help="adapt a full (d, d) covariance metric (Stan's "
                              "dense_e) — for correlated posteriors a diagonal "
-                             "cannot equalize (e.g. airportdelays)")
+                             "cannot equalize (e.g. airportdelays); without "
+                             "this flag the driver still auto-retries "
+                             "unconverged coreset chains with dense_e")
+    parser.add_argument("--ess_gate", type=float, default=ESS_GATE,
+                        help="min bulk-ESS (over dims, all chains pooled) a "
+                             "run must reach before its metrics are recorded; "
+                             "failing runs retry like an R-hat failure")
+    parser.add_argument("--cpu_fallback", action="store_true",
+                        help="retry still-unconverged coreset chains on host "
+                             "CPU (last resort; the on-device dense-metric "
+                             "retry should make this unnecessary)")
+    parser.add_argument("--chain_mesh", action="store_true",
+                        help="shard NUTS chains over all visible devices via "
+                             "the chain mesh (parallel/mcmc.py); chains round "
+                             "up to a multiple of the device count")
     parser.add_argument("--max_treedepth", type=int, default=15,
                         help="NUTS max tree depth (reference control "
                              "max_treedepth=15, mcmc.py:58)")

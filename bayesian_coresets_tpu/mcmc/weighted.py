@@ -84,11 +84,24 @@ def laplace_init(model, z, wts, num_chains: int, key, d: int):
     return sample_laplace(key, lap, num_chains)
 
 
+def _shard_chain_inits(init_params, mesh):
+    """Lay chain inits over the mesh's chain axis so run_nuts' vmapped batch
+    dimension is device-sharded (the same placement as
+    parallel.mcmc.run_nuts_sharded): each device runs its resident chains
+    and pooled-adaptation means become XLA collectives over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ..parallel.mesh import CHAIN_AXIS
+    axis = CHAIN_AXIS if CHAIN_AXIS in mesh.axis_names else mesh.axis_names[0]
+    return jax.device_put(init_params, NamedSharding(mesh, PartitionSpec(axis, None)))
+
+
 def run(model, z, wts, n_samples: int, key, d: int | None = None,
         num_chains: int = 1, max_depth: int = 10, target_accept: float = 0.9,
         init: jax.Array | None = None, pooled_adaptation: bool = False,
         num_warmup: int | None = None, precondition: bool = True,
-        f64_logdensity: bool = False, dense_mass: bool = False):
+        f64_logdensity: bool = False, dense_mass: bool = False,
+        mesh=None):
     """Weighted-posterior NUTS with the reference driver's conventions.
 
     Mirrors ``mcmc.run(...) -> (samples, t_sample)`` (reference
@@ -116,6 +129,10 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
     — the principled control when the (possibly preconditioned) posterior
     stays correlated beyond what a diagonal can fix (e.g. airportdelays'
     d=16 extreme weight concentration).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — chain inits are sharded over
+    its chain axis so chains run device-parallel (``num_chains`` must be a
+    multiple of the axis size); the sampled distribution is unchanged.
     Returns (samples (num_chains*n_samples, d), wall_seconds, MCMCResult).
     """
     z = jnp.asarray(z)
@@ -167,6 +184,8 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
 
                 key, k_init = jax.random.split(key)
                 init_u = jax.random.normal(k_init, (num_chains, d), jnp.float32)
+                if mesh is not None:
+                    init_u = _shard_chain_inits(init_u, mesh)
                 t0 = time.perf_counter()
                 res: MCMCResult = run_nuts(logdensity_u, init_u, key,
                                            num_warmup=num_warmup or n_samples,
@@ -184,6 +203,8 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
         if init is None:
             key, k_init = jax.random.split(key)
             init = laplace_init(model, z, wts, num_chains, k_init, d)
+        if mesh is not None:
+            init = _shard_chain_inits(init, mesh)
         t0 = time.perf_counter()
         res: MCMCResult = run_nuts(logdensity, init, key,
                                    num_warmup=num_warmup or n_samples,

@@ -134,14 +134,17 @@ class TestLogisticPoissonDriver:
         monkeypatch.setattr(datasets, "load_logistic",
                             lambda name: (X.astype(np.float32), Y, Z, None, d))
 
-    def _argv(self, **kw):
+    def _argv(self, *flags, **kw):
+        # ess_gate=1: tiny test chains (2 x 32 draws) can never reach the
+        # production default of 100, and these tests target other behavior
         base = {"model": "lr", "dataset": "synth_lr", "alg": "GIGA-OPT",
                 "trial": 1, "mcmc_samples_full": 32, "mcmc_samples_coreset": 32,
                 "mcmc_chains": 2, "proj_dim": 32, "coreset_size_max": 16,
-                "coreset_num_sizes": 2, "fs_samples": 16, "max_treedepth": 8}
+                "coreset_num_sizes": 2, "fs_samples": 16, "max_treedepth": 8,
+                "ess_gate": 1}
         base.update(kw)
         return ["run"] + [x for k, v in base.items()
-                          for x in (f"--{k}", str(v))]
+                          for x in (f"--{k}", str(v))] + list(flags)
 
     def test_cache_key_covers_mcmc_settings(self):
         from bayesian_coresets_tpu.experiments.logistic_poisson import full_cache_path
@@ -172,6 +175,41 @@ class TestLogisticPoissonDriver:
         LP.main(self._argv(mcmc_samples_full=48))
         caches2 = sorted(os.listdir("mcmc_cache"))
         assert len(caches2) == 2 and caches[0] in caches2
+
+    def test_ess_gate_triggers_dense_retry(self, workdir, monkeypatch, capsys):
+        # Vehtari et al. gate BOTH R-hat and ESS: a run whose min bulk-ESS
+        # falls below --ess_gate must visibly retry (dense mass matrix) and
+        # warn if still under the gate — 2 chains x 32 draws cannot reach
+        # an ESS of 10_000, so both paths must fire
+        from bayesian_coresets_tpu.experiments import logistic_poisson as LP
+        self._tiny_lr(monkeypatch)
+        LP.main(self._argv(ess_gate=10_000, coreset_num_sizes=1))
+        out = capsys.readouterr().out
+        assert "retrying with dense mass matrix" in out
+        assert "not converged" in out and "min ESS" in out
+        # metrics are still recorded (gate warns, it does not drop rows)
+        df = results.load_matching({"alg": "GIGA-OPT", "results_folder": "results/"})
+        assert np.isfinite(df["rklw"].to_numpy()).all()
+
+    def test_unconverged_gates_both_rhat_and_ess(self):
+        from bayesian_coresets_tpu.experiments.logistic_poisson import (
+            RHAT_GATE, unconverged)
+        assert not unconverged(1.01, 500.0, 100.0)      # both gates pass
+        assert unconverged(RHAT_GATE + 0.1, 500.0, 100.0)  # R-hat fails
+        assert unconverged(1.01, 15.0, 100.0)           # ESS fails alone
+        assert unconverged(1.01, 15.0)                  # default gate = 100
+
+    def test_chain_mesh_driver(self, workdir, monkeypatch):
+        # --chain_mesh routes full-data AND coreset NUTS through the chain
+        # mesh (parallel/mcmc.py sharding) on the 8-device CPU mesh; chains
+        # round up to a multiple of the device count and diagnostics still
+        # gate/record
+        from bayesian_coresets_tpu.experiments import logistic_poisson as LP
+        self._tiny_lr(monkeypatch)
+        LP.main(self._argv("--chain_mesh", mcmc_chains=8, coreset_num_sizes=1))
+        df = results.load_matching({"alg": "GIGA-OPT", "results_folder": "results/"})
+        for col in ("rhats", "esses", "full_rhat", "full_ess", "rklw"):
+            assert col in df.columns and np.isfinite(df[col]).all()
 
     def test_svi_warm_start_driver(self, workdir, monkeypatch):
         # SVI routes through the warm-started Laplace refit (TangentFamily

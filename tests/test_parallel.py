@@ -66,6 +66,37 @@ def test_sharded_chains_dense_mass(cpu_devices):
     assert abs(np.cov(s.T)[0, 1] - 0.9) < 0.2
 
 
+def test_weighted_run_mesh_matches_vmapped(cpu_devices):
+    """mcmc.run(mesh=...) — the driver's --chain_mesh path — must sample the
+    same distribution as the plain vmapped path: identical key, identical
+    algorithm, only device placement differs."""
+    from bayesian_coresets_tpu.mcmc import weighted
+    from bayesian_coresets_tpu.models import logistic
+
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (60, 2))
+    y = jnp.sign(x[:, 0] - 0.3 * x[:, 1] + 0.2)
+    z = jnp.concatenate([x * y[:, None], y[:, None]], axis=1)
+    wts = jnp.ones(60)
+
+    mesh = make_mesh({"chains": 8})
+    s_mesh, _, res_mesh = weighted.run(logistic, z, wts, 150, jax.random.key(5),
+                                       num_chains=8, pooled_adaptation=True,
+                                       mesh=mesh)
+    s_vmap, _, res_vmap = weighted.run(logistic, z, wts, 150, jax.random.key(5),
+                                       num_chains=8, pooled_adaptation=True)
+    # same key + same algorithm: moments agree tightly (placement may perturb
+    # reduction order at ulp level, so exact bit-parity is not asserted)
+    np.testing.assert_allclose(np.asarray(s_mesh).mean(0),
+                               np.asarray(s_vmap).mean(0), atol=0.05)
+    np.testing.assert_allclose(np.asarray(s_mesh).std(0),
+                               np.asarray(s_vmap).std(0), rtol=0.15)
+    # diagnostics still computable on the sharded result
+    from bayesian_coresets_tpu import mcmc as M
+    assert np.isfinite(np.asarray(M.split_rhat(res_mesh.samples))).all()
+    assert np.isfinite(np.asarray(M.ess(res_mesh.samples))).all()
+
+
 def test_graft_entry_compiles(cpu_devices):
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
