@@ -192,11 +192,41 @@ def _is_quantized(consts: SNNLSConsts) -> bool:
     return consts.V.dtype == jnp.int8
 
 
-def _v_row(consts: SNNLSConsts, f) -> jax.Array:
-    """Row V[f] in f32 (dequantized in int8-resident mode)."""
+def _v_row(consts: SNNLSConsts, f, spmd: bool = False) -> jax.Array:
+    """Row V[f] in f32 (dequantized in int8-resident mode).
+
+    ``spmd=True`` computes the row as a one-hot masked reduction instead of
+    a dynamic gather: a data-dependent index into the n axis defeats the
+    GSPMD partitioner (it falls back to ALL-GATHERING V — replicating the
+    whole (n, S) matrix on every device), while the masked reduction lowers
+    to a per-shard partial + one O(S) all-reduce.  Bit-identical result (the
+    mask selects exactly one row; no arithmetic changes)."""
+    if spmd:
+        m = jnp.arange(consts.V.shape[0]) == f
+        row = jnp.sum(jnp.where(m[:, None], consts.V, 0).astype(jnp.float32),
+                      axis=0)
+        if _is_quantized(consts):
+            return row * (_get1(consts.norms, f, spmd=True) * (1.0 / 127.0))
+        return row
     if _is_quantized(consts):
         return consts.V[f].astype(jnp.float32) * (consts.norms[f] * (1.0 / 127.0))
     return consts.V[f]
+
+
+def _get1(x: jax.Array, f, spmd: bool = False) -> jax.Array:
+    """x[f] for a (n,)-vector; one-hot masked sum in spmd mode (a dynamic
+    scalar gather from a row-sharded vector otherwise all-gathers it)."""
+    if spmd:
+        return jnp.sum(jnp.where(jnp.arange(x.shape[0]) == f, x, 0))
+    return x[f]
+
+
+def _set1(x: jax.Array, f, val, spmd: bool = False) -> jax.Array:
+    """x.at[f].set(val); elementwise where in spmd mode (NO communication —
+    the one-hot mask shards with x)."""
+    if spmd:
+        return jnp.where(jnp.arange(x.shape[0]) == f, val, x)
+    return x.at[f].set(val)
 
 
 def _gather_rows(consts: SNNLSConsts, idcs, mask) -> jax.Array:
@@ -207,7 +237,8 @@ def _gather_rows(consts: SNNLSConsts, idcs, mask) -> jax.Array:
     return jnp.where(mask[:, None], rows, 0.0)
 
 
-def _v_matvec(consts: SNNLSConsts, w: jax.Array, support: int = 1024) -> jax.Array:
+def _v_matvec(consts: SNNLSConsts, w: jax.Array, support: int = 1024,
+              spmd: bool = False) -> jax.Array:
     """V^T @ w in f32.
 
     In int8-resident mode the weight vector's support (w >= 0 always, so the
@@ -217,9 +248,19 @@ def _v_matvec(consts: SNNLSConsts, w: jax.Array, support: int = 1024) -> jax.Arr
     step that would select a (max_active+1)-th distinct atom and latching
     ``done`` (see _track_support), so passing support=max_active is always
     exact for solver-produced weights.
+
+    ``spmd=True`` (quantized): the top-k gather indexes the sharded n axis
+    (GSPMD would all-gather V), so the matvec runs DENSE with on-the-fly
+    dequantization — a per-shard (n/dev, S) contraction + one O(S)
+    all-reduce; the convert fuses into the dot, no f32 (n, S) materializes.
+    Runs only at the REFRESH_EVERY cadence, so the dense pass is amortized.
     """
     if not _is_quantized(consts):
         return jnp.dot(consts.V.T, w, preferred_element_type=jnp.float32)
+    if spmd:
+        wn = w * consts.norms * (1.0 / 127.0)
+        return jnp.dot(wn, consts.V.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
     k = min(int(support), w.shape[0])
     vals, idx = jax.lax.top_k(w, k)
     rows = consts.V[idx].astype(jnp.float32) * (consts.norms[idx] * (1.0 / 127.0))[:, None]
@@ -332,13 +373,14 @@ def _support_matvec(consts: SNNLSConsts, w, idcs, size):
                    preferred_element_type=jnp.float32)
 
 
-def _rank1_update(state: SNNLSState, consts: SNNLSConsts, f, alpha, beta):
+def _rank1_update(state: SNNLSState, consts: SNNLSConsts, f, alpha, beta,
+                  spmd: bool = False):
     """w <- alpha*w; w[f] = max(0, w[f] + beta); update cached xw exactly."""
-    old_wf = state.w[f]
+    old_wf = _get1(state.w, f, spmd=spmd)
     new_wf = jnp.maximum(0.0, alpha * old_wf + beta)
-    w = (alpha * state.w).at[f].set(new_wf)
+    w = _set1(alpha * state.w, f, new_wf, spmd=spmd)
     delta = new_wf - alpha * old_wf
-    xw = alpha * state.xw + delta * _v_row(consts, f)
+    xw = alpha * state.xw + delta * _v_row(consts, f, spmd=spmd)
     return w, xw
 
 
@@ -371,7 +413,7 @@ def _aux_from_xw(consts: SNNLSConsts, xw: jax.Array) -> GigaAux:
 
 
 def _giga_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
-               use_pallas: bool = False):
+               use_pallas: bool = False, spmd: bool = False):
     bnorm = jnp.where(consts.bnorm == 0, 1.0, consts.bnorm)
     bn = consts.b / bnorm                            # loop-invariant
     nw = jnp.sqrt(jnp.maximum(aux.nw2, 0.0))
@@ -411,8 +453,8 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
         f = jnp.argmax(score)
 
     # reweight (giga.py:40-64): one row gather + one (2,S) matvec + scalars
-    xf = _v_row(consts, f)
-    nf = consts.norms[f]
+    xf = _v_row(consts, f, spmd=spmd)
+    nf = _get1(consts.norms, f, spmd=spmd)
     xfn = xf / nf
     two = jnp.dot(jnp.stack([bn, xwn], axis=0), xfn,
                   preferred_element_type=jnp.float32)
@@ -434,10 +476,10 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
     scale = x_b / jnp.where(nx2 == 0, 1.0, nx2)
     alpha, beta = a * scale, c * scale
 
-    old_wf = state.w[f]
+    old_wf = _get1(state.w, f, spmd=spmd)
     new_wf = jnp.maximum(0.0, alpha * old_wf + beta)
     delta = new_wf - alpha * old_wf
-    w = (alpha * state.w).at[f].set(new_wf)
+    w = _set1(alpha * state.w, f, new_wf, spmd=spmd)
     xw = alpha * state.xw + delta * xf
     # the cache is recomputed EXACTLY from the new xw (a pure function, so
     # incremental builds bit-match one-shot builds); the measured cost of
@@ -452,7 +494,8 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
 # Frank-Wolfe (reference snnls/frankwolfe.py:5-40)
 # ---------------------------------------------------------------------------
 
-def _fw_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol):
+def _fw_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
+             spmd: bool = False):
     resid = consts.b - state.xw
     rn, _ = _normalize(resid)        # scale-invariant for the argmax
     dots = _select_dots(consts, rn)
@@ -460,8 +503,8 @@ def _fw_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol):
     f = jnp.argmax(dots)
 
     nsum = jnp.sum(jnp.where(consts.valid, consts.norms, 0.0))
-    nf = consts.norms[f]
-    xf = _v_row(consts, f)
+    nf = _get1(consts.norms, f, spmd=spmd)
+    xf = _v_row(consts, f, spmd=spmd)
     size_zero = ~jnp.any(state.w > 0)
 
     # line search (frankwolfe.py:26-37)
@@ -474,7 +517,7 @@ def _fw_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol):
     beta = jnp.where(size_zero, nsum / nf, nsum / nf * gamma)
     ok = ok | size_zero                              # first-point vertex init
 
-    w, xw = _rank1_update(state, consts, f, alpha, beta)
+    w, xw = _rank1_update(state, consts, f, alpha, beta, spmd=spmd)
     idcs, size, overflow = _track_support(state, f)
     return w, xw, state.cts, idcs, size, state.key, ok, overflow, aux
 
@@ -517,7 +560,7 @@ def _omp_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
 # ---------------------------------------------------------------------------
 
 def _sampling_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
-                   matvec_k: int = 1024):
+                   matvec_k: int = 1024, spmd: bool = False):
     """One categorical draw (sampling.py:6-37) with an O(S) cache update.
 
     The weight map w_i = (cts_i / T) / ps_i changes at ONE index per draw up
@@ -531,13 +574,13 @@ def _sampling_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
     logp = jnp.where(consts.ps > 0, jnp.log(jnp.where(consts.ps > 0, consts.ps, 1.0)),
                      _NEG_INF)
     f = jax.random.categorical(sub, logp)
-    cts = state.cts.at[f].add(1.0)
+    cts = _set1(state.cts, f, _get1(state.cts, f, spmd=spmd) + 1.0, spmd=spmd)
     T_old = jnp.sum(state.cts)
     T_new = T_old + 1.0
     w = jnp.where(consts.ps > 0, (cts / T_new) / jnp.where(consts.ps > 0, consts.ps, 1.0), 0.0)
     alpha = T_old / T_new
-    beta = 1.0 / (T_new * jnp.maximum(consts.ps[f], 1e-30))
-    xw = alpha * state.xw + beta * _v_row(consts, f)
+    beta = 1.0 / (T_new * jnp.maximum(_get1(consts.ps, f, spmd=spmd), 1e-30))
+    xw = alpha * state.xw + beta * _v_row(consts, f, spmd=spmd)
     idcs, size, overflow = _track_support(state, f)
     return w, xw, cts, idcs, size, key, jnp.array(True), overflow, aux
 
@@ -562,21 +605,40 @@ _CHECK_MONOTONE = {
 # Shared greedy build loop (reference snnls/snnls.py:31-79)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("method", "use_pallas", "matvec_k"),
+@partial(jax.jit, static_argnames=("method", "use_pallas", "matvec_k", "spmd"),
          donate_argnums=(1,))
 def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga",
-          use_pallas: bool = False, matvec_k: int = 1024) -> SNNLSState:
+          use_pallas: bool = False, matvec_k: int = 1024,
+          spmd: bool = False) -> SNNLSState:
     """Run up to ``itrs`` greedy iterations (continues from current state).
 
     ``use_pallas=True`` routes the GIGA selection through the fused Pallas
     kernel (requires a reduced-precision select copy, i.e. select_dtype set).
     ``matvec_k`` bounds the weight support for sparse-gather matvecs in
     int8-resident mode (see _v_matvec); ignored for f32 problems.
+
+    ``spmd=True`` (set by parallel/coreset.py for mesh-sharded inputs)
+    replaces every data-dependent index into the n axis (row gathers,
+    w[f] reads/writes, top-k refresh gathers) with one-hot masked forms:
+    without this the GSPMD partitioner resolves those gathers by
+    ALL-GATHERING the (n, S) matrix onto every device — replicated memory
+    and O(n*S) communication.  In spmd mode per-iteration collectives are
+    O(S) all-reduces plus O(devices) argmax exchanges, independent of n
+    (asserted from compiled HLO in tests/test_sharding_hlo.py).  Results
+    are bit-identical for f32 problems (the masks select the same rows);
+    the quantized refresh sums in a different order (dense vs gathered).
     """
+    if spmd and method == "orthopursuit":
+        raise ValueError("orthopursuit re-solves a gathered active-set system "
+                         "each iteration; use data-parallel projection + a "
+                         "single-device solve, or giga/frankwolfe/sampling "
+                         "for sharded builds")
     if use_pallas and method == "giga":
         step_fn = partial(_giga_step, use_pallas=True)
-    else:
+    elif method == "orthopursuit":
         step_fn = _STEP_FNS[method]
+    else:
+        step_fn = partial(_STEP_FNS[method], spmd=spmd)
     check_monotone = _CHECK_MONOTONE[method]
     itr_end = state.itr + jnp.asarray(itrs, jnp.int32)
 
@@ -588,11 +650,14 @@ def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga
         s, aux = carry
         # periodic exact refresh of the cached matvec AND the scalar cache
         # (f32 drift control); int8-resident mode gathers the tracked
-        # support instead of sorting the n-element weight vector
-        if _is_quantized(consts) and s.idcs.shape[0]:
+        # support instead of sorting the n-element weight vector (in spmd
+        # mode that gather would all-gather V — run the dense sharded
+        # matvec instead, amortized over REFRESH_EVERY iterations)
+        if _is_quantized(consts) and s.idcs.shape[0] and not spmd:
             exact_xw = lambda: _support_matvec(consts, s.w, s.idcs, s.size)
         else:
-            exact_xw = lambda: _v_matvec(consts, s.w, support=matvec_k)
+            exact_xw = lambda: _v_matvec(consts, s.w, support=matvec_k,
+                                         spmd=spmd)
         xw, aux = jax.lax.cond(
             s.itr % REFRESH_EVERY == 0,
             lambda: (lambda x: (x, _aux_from_xw(consts, x)))(exact_xw()),

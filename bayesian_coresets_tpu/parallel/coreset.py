@@ -84,7 +84,11 @@ def build_sharded(A, b, itrs: int, mesh: Mesh, method: str = "giga",
     consts = shard_consts(consts, mesh, shard_proj)
     state = snnls.init_state(consts, key, max_active=max_active)
     state = shard_state(state, mesh, shard_proj)
-    return snnls.build(consts, state, itrs, config.TOL, method=method)
+    # spmd=True: one-hot masked row access — V stays partitioned (without it
+    # GSPMD all-gathers V to serve the data-dependent row gathers) and
+    # per-iteration collectives are O(S), n-independent (tests/test_sharding_hlo.py)
+    return snnls.build(consts, state, itrs, config.TOL, method=method,
+                       spmd=True)
 
 
 def build_sharded_quantized(Vq, norms, b, itrs: int, mesh: Mesh,
@@ -105,4 +109,4 @@ def build_sharded_quantized(Vq, norms, b, itrs: int, mesh: Mesh,
     state = snnls.init_state(consts, key, max_active=max_active)
     state = shard_state(state, mesh, shard_proj=False)
     return snnls.build(consts, state, itrs, config.TOL, method=method,
-                       matvec_k=max_active)
+                       matvec_k=max_active, spmd=True)
