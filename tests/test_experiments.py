@@ -121,6 +121,28 @@ class TestDrivers:
         assert coreset.size() <= 50
 
 
+class TestVisualize:
+    def test_plot_housing_prices(self, workdir):
+        # reference examples/data/plot_housing_prices.py analogue: price-
+        # colored (lon, lat) scatter; runs on the synthetic stand-in when no
+        # prices2018 data is given (the blob ships with neither repo)
+        from bayesian_coresets_tpu.experiments.visualize import plot_housing_prices
+        out = plot_housing_prices(out_path="housing.png", n=500)
+        assert os.path.exists(out)
+        # explicit data rows [lat, lon, price]: monotone color ramp in price
+        data = np.column_stack([np.linspace(50, 55, 40),
+                                np.linspace(-3, 1, 40),
+                                np.geomspace(1e4, 1e6, 40)])
+        out2 = plot_housing_prices(data=data, out_path="housing2.png")
+        assert os.path.exists(out2)
+
+    def test_visualize_main_housing(self, workdir, capsys):
+        from bayesian_coresets_tpu.experiments import visualize
+        visualize.main(["housing", "h.png"])
+        assert os.path.exists("h.png")
+        assert "wrote h.png" in capsys.readouterr().out
+
+
 class TestLogisticPoissonDriver:
     def _tiny_lr(self, monkeypatch, n=120, d=3):
         """Monkeypatch the dataset loader: tiny synthetic logistic data."""
