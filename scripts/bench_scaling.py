@@ -1,15 +1,27 @@
-"""Multi-device scaling-efficiency harness.
+"""Multi-device scaling harness: weak-scaling measurement + ICI cost model.
 
-Measures (a) sharded GIGA coreset construction points/s and (b) sharded
-weighted-NUTS samples/s across mesh sizes 1, 2, 4, ... up to the available
-device count, reporting parallel efficiency vs the 1-device run — the
-BASELINE.md target is >=80% efficiency to N>=2 hosts on a v5e pod slice.
+Two parts, both written into one self-interpreting JSON artifact:
 
-On a single-chip or virtual-CPU environment the absolute efficiencies are
-not meaningful (shared memory bandwidth / one physical socket); the harness
-is the measurement protocol for real multi-chip slices.
+1. **Weak-scaling measurement** over mesh sizes 1, 2, 4, ...: per-device
+   work is held CONSTANT (build: dataset rows per device; NUTS: chains per
+   device), so ideal scaling keeps build wall time flat and grows NUTS
+   throughput linearly.  On the virtual CPU mesh the hardware ceiling is
+   itself min(host_cores, devices)/devices — the artifact records that
+   ceiling and the efficiency relative to it, so the numbers cannot be
+   misread as a hardware-scaling failure (this machine has 2 cores serving
+   8 virtual devices: a 'raw efficiency' of 0.25 at 8 devices IS the
+   ceiling).
 
-Run: python scripts/bench_scaling.py [--devices 8 --virtual]
+2. **ICI cost model** for a real v5e pod slice: per-iteration collective
+   bytes are read from the COMPILED HLO of the sharded build (utils/hlo.py;
+   the same accounting tests/test_sharding_hlo.py asserts is O(S) and
+   n-independent), per-iteration compute from the select-matmul HBM traffic
+   at the measured fraction of peak (PARITY_RESULTS.md hot-loop table).
+   Ring all-reduce cost: 2B(k-1)/(k*link_bw) + 2(k-1)*hop_latency per
+   collective phase.  The predicted weak-scaling efficiency at v5e-8 is the
+   compute fraction t_comp / (t_comp + t_comm).
+
+Run: python scripts/bench_scaling.py --devices 8 --out SCALING_r03.json
 """
 
 import argparse
@@ -23,11 +35,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=0,
                     help="virtual CPU device count (0 = use real devices)")
-    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--n_per_device", type=int, default=50_000,
+                    help="dataset rows PER DEVICE (weak scaling)")
     ap.add_argument("--proj_dim", type=int, default=256)
     ap.add_argument("--m", type=int, default=200)
-    ap.add_argument("--chains", type=int, default=8)
+    ap.add_argument("--chains_per_device", type=int, default=4)
     ap.add_argument("--samples", type=int, default=200)
+    ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
 
     if args.devices:
@@ -43,34 +57,40 @@ def main():
     from bayesian_coresets_tpu.coresets.projector import center_lls
     from bayesian_coresets_tpu.models import logistic
     from bayesian_coresets_tpu.ops import snnls
-    from bayesian_coresets_tpu.parallel import build_sharded, make_mesh, run_nuts_sharded
+    from bayesian_coresets_tpu.parallel import (build_sharded, make_mesh,
+                                                run_nuts_sharded)
+    from bayesian_coresets_tpu.parallel.coreset import shard_consts, shard_state
+    from bayesian_coresets_tpu.utils import config
+    from bayesian_coresets_tpu.utils.hlo import collective_stats
 
     ndev = len(jax.devices())
+    host_cores = os.cpu_count() or 1
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= ndev]
-
-    Z = logistic.gen_synthetic(jax.random.key(0), args.n, 10)
-    ths = 0.1 * jax.random.normal(jax.random.key(1), (args.proj_dim, 10), jnp.float32)
-    vecs = center_lls(logistic.log_likelihood(Z, ths))
-    A = vecs.T
-    b = jnp.sum(vecs, axis=0)
+    D = 10
 
     results = {"build": {}, "nuts": {}}
     for s in sizes:
+        n = args.n_per_device * s                     # weak scaling: n grows
+        Z = logistic.gen_synthetic(jax.random.key(0), n, D)
+        ths = 0.1 * jax.random.normal(jax.random.key(1), (args.proj_dim, D),
+                                      jnp.float32)
+        vecs = center_lls(logistic.log_likelihood(Z, ths))
+        A, b = vecs.T, jnp.sum(vecs, axis=0)
         mesh = make_mesh({"data": s}, devices=jax.devices()[:s])
-        st = build_sharded(A, b, args.m, mesh)        # compile + run
+        st = build_sharded(A, b, args.m, mesh)        # compile + warm
         jax.block_until_ready(st.w)
         t0 = time.perf_counter()
         st = build_sharded(A, b, args.m, mesh)
         jax.block_until_ready(st.w)
-        dt = time.perf_counter() - t0
-        results["build"][s] = args.m / dt
+        results["build"][s] = args.m / (time.perf_counter() - t0)
 
-    w = st.w
-    logd = lambda th: logistic.log_joint(Z, th[None, :], jnp.ones(args.n))[0]
+    n1 = args.n_per_device
+    Z1 = logistic.gen_synthetic(jax.random.key(0), n1, D)
+    logd = lambda th: logistic.log_joint(Z1, th[None, :], jnp.ones(n1))[0]
     for s in sizes:
         mesh = make_mesh({"chains": s}, devices=jax.devices()[:s])
-        chains = args.chains * s
-        init = jnp.zeros((chains, 10))
+        chains = args.chains_per_device * s           # weak scaling: chains grow
+        init = jnp.zeros((chains, D))
         r = run_nuts_sharded(logd, init, jax.random.key(2), mesh,
                              num_warmup=50, num_samples=args.samples)
         jax.block_until_ready(r.samples)
@@ -78,20 +98,120 @@ def main():
         r = run_nuts_sharded(logd, init, jax.random.key(3), mesh,
                              num_warmup=50, num_samples=args.samples)
         jax.block_until_ready(r.samples)
-        dt = time.perf_counter() - t0
-        results["nuts"][s] = chains * args.samples / dt
+        results["nuts"][s] = chains * args.samples / (time.perf_counter() - t0)
 
-    out = {}
-    for kind in ("build", "nuts"):
+    # weak-scaling efficiencies: build time should stay FLAT (points/s
+    # constant), nuts throughput should grow linearly with devices
+    measured = {}
+    for kind, ideal in (("build", lambda base, s: base),
+                        ("nuts", lambda base, s: base * s)):
         base = results[kind][sizes[0]]
-        out[kind] = {
-            str(s): {"throughput": round(v, 1),
-                     "efficiency": round(v / (base * s / sizes[0]), 3)}
-            for s, v in results[kind].items()
-        }
-    print(json.dumps({"devices": ndev, "unit": {"build": "points/s",
-                                                "nuts": "samples/s"}, **out},
-                     indent=2))
+        measured[kind] = {}
+        for s, v in results[kind].items():
+            ceiling = min(host_cores, s) / s if args.devices else 1.0
+            eff = v / ideal(base, s)
+            # total work per second relative to 1 device: on a FIXED-silicon
+            # virtual mesh (XLA CPU shares one thread pool across virtual
+            # devices, so the 1-device baseline already uses every core) the
+            # ideal is 1.0 — the shortfall is pure partitioning overhead
+            work_ratio = (v * s / base) if kind == "build" else (v / (base * s)) * s
+            measured[kind][str(s)] = {
+                "throughput": round(v, 1),
+                "efficiency": round(eff, 3),
+                "virtual_mesh_ceiling": round(ceiling, 3),
+                "efficiency_vs_ceiling": round(min(eff / ceiling, 9.99), 3),
+                "total_work_ratio_vs_1dev": round(work_ratio, 3),
+            }
+
+    # ---- ICI cost model (v5e pod slice prediction) -------------------------
+    # collective bytes per build iteration, read from the compiled HLO at the
+    # flagship single-chip workload shape (PARITY_RESULTS hot-loop: N=1M
+    # rows/device, S=512, int8 select)
+    K_MODEL = 8                      # modeled slice size (v5e-8)
+    N_DEV, S_MODEL = 1_000_000, 512
+    import numpy as np
+    rng = np.random.default_rng(0)
+    Am = rng.normal(size=(64, 4096)).astype(np.float32)   # small proxy shape
+    bm = Am.sum(axis=1)
+    mesh = make_mesh({"data": min(8, ndev)},
+                     devices=jax.devices()[:min(8, ndev)])
+    consts = shard_consts(snnls.make_consts(jnp.asarray(Am), jnp.asarray(bm)),
+                          mesh)
+    state = shard_state(snnls.init_state(consts, max_active=256), mesh)
+    fn = jax.jit(lambda c, s: snnls.build(c, s, 50, config.TOL,
+                                          method="giga", spmd=True))
+    stats = collective_stats(fn.lower(consts, state).compile().as_text())
+    # scale S-dependent collective payloads from the proxy S=64 to S_MODEL;
+    # the HLO-asserted invariant is that nothing scales with n
+    coll_bytes = sum(by * (S_MODEL / 64 if by >= 64 * 4 else 1.0)
+                     for _, by, _ in stats)
+    n_phases = len(stats)            # each collective = one latency-bound phase
+
+    HBM_GBPS = 819.0                 # v5e HBM bandwidth
+    ACHIEVED = 0.75                  # low end of the measured 75-91% of peak
+    ICI_LINK_GBPS = 45.0             # v5e one-way per-link ICI bandwidth
+    HOP_LAT_US = 1.0                 # per-hop latency, conservative
+    t_comp_us = (N_DEV * S_MODEL * 1) / (HBM_GBPS * ACHIEVED * 1e3)  # int8 read
+    ring = 2 * (K_MODEL - 1)
+    t_comm_us = (n_phases * ring * HOP_LAT_US
+                 + (2 * coll_bytes * (K_MODEL - 1) / K_MODEL)
+                 / (ICI_LINK_GBPS * 1e3))
+    predicted_eff = t_comp_us / (t_comp_us + t_comm_us)
+
+    artifact = {
+        "protocol": {
+            "mode": "weak scaling: per-device work constant "
+                    "(build: n_per_device rows; nuts: chains_per_device "
+                    "chains); ideal = flat build time, linear nuts throughput",
+            "n_per_device": args.n_per_device,
+            "proj_dim": args.proj_dim,
+            "build_iters": args.m,
+            "chains_per_device": args.chains_per_device,
+            "nuts_samples": args.samples,
+        },
+        "environment": {
+            "devices": ndev,
+            "virtual_cpu_mesh": bool(args.devices),
+            "host_cores": host_cores,
+            "caveat": (
+                "virtual mesh: all devices share ONE host's cores and memory "
+                "bandwidth (XLA CPU runs every virtual device on one shared "
+                "thread pool, so even the 1-device baseline saturates the "
+                "host).  The hardware ceiling on weak-scaling efficiency is "
+                f"therefore ~1/devices here (host_cores={host_cores}); "
+                "total_work_ratio_vs_1dev isolates the XLA-partitioning "
+                "overhead (ideal 1.0 on fixed silicon).  Absolute efficiency "
+                "on this mesh says NOTHING about pod-slice scaling — the "
+                "hardware prediction is cost_model."
+                if args.devices else "real devices"),
+        },
+        "unit": {"build": "points/s", "nuts": "samples/s"},
+        "measured": measured,
+        "cost_model": {
+            "target": "v5e-8 weak-scaling efficiency, flagship build "
+                      "(N=1e6 rows/device, S=512, int8 select)",
+            "collective_bytes_per_iteration": int(coll_bytes),
+            "collective_phases_per_iteration": n_phases,
+            "collective_source": "compiled HLO of the sharded build "
+                                 "(utils/hlo.py; n-independence asserted by "
+                                 "tests/test_sharding_hlo.py)",
+            "assumptions": {
+                "hbm_gbps": HBM_GBPS, "achieved_fraction": ACHIEVED,
+                "ici_link_gbps_oneway": ICI_LINK_GBPS,
+                "hop_latency_us": HOP_LAT_US,
+                "ring_allreduce": "2B(k-1)/(k*bw) + 2(k-1)*lat per phase",
+            },
+            "t_compute_us_per_iteration": round(t_comp_us, 1),
+            "t_comm_us_per_iteration": round(t_comm_us, 1),
+            "predicted_efficiency_v5e8": round(predicted_eff, 3),
+            "meets_80pct_target": bool(predicted_eff >= 0.8),
+        },
+    }
+    out = json.dumps(artifact, indent=2)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
 
 
 if __name__ == "__main__":

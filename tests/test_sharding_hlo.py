@@ -15,8 +15,6 @@ sharded build and fail if that ever happens again:
    (``spmd=False`` on sharded inputs reproduces the V all-gather).
 """
 
-import re
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,39 +24,7 @@ from bayesian_coresets_tpu.ops import snnls
 from bayesian_coresets_tpu.parallel import make_mesh
 from bayesian_coresets_tpu.parallel.coreset import shard_consts, shard_state
 from bayesian_coresets_tpu.utils import config
-
-_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
-                "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
-                "pred": 1}
-_COLLECTIVES = ("all-gather", "all-reduce", "reduce-scatter",
-                "collective-permute", "all-to-all")
-_SHAPE_RE = re.compile(r"(\w+)\[([0-9,]*)\]")
-
-
-def _shape_bytes(shape_str: str) -> int:
-    """Total bytes of one shape string or tuple-of-shapes string."""
-    total = 0
-    for dt, dims in _SHAPE_RE.findall(shape_str):
-        if dt not in _DTYPE_BYTES:
-            continue
-        elems = 1
-        for d in dims.split(","):
-            if d:
-                elems *= int(d)
-        total += elems * _DTYPE_BYTES[dt]
-    return total
-
-
-def collective_stats(hlo_text: str):
-    """[(op, result_bytes, line)] for every collective in the module."""
-    out = []
-    for line in hlo_text.splitlines():
-        m = re.search(
-            r"=\s*((?:\([^)]*\))|(?:\S+))\s+(" + "|".join(_COLLECTIVES) + r")\(",
-            line)
-        if m:
-            out.append((m.group(2), _shape_bytes(m.group(1)), line.strip()))
-    return out
+from bayesian_coresets_tpu.utils.hlo import collective_stats
 
 
 def _compiled_build_hlo(n, S, mesh, quantized=False, spmd=True, itrs=50):
