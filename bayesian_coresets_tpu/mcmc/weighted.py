@@ -39,6 +39,20 @@ def weighted_logdensity(model, z, wts, ref: jax.Array | None = None) -> Callable
     z = jnp.asarray(z)
     wts = jnp.asarray(wts)
 
+    if ref is not None and hasattr(model, "log_likelihood_diff") \
+            and hasattr(model, "log_prior"):
+        # stable per-datum differences (see models.*.log_likelihood_diff):
+        # each term carries error relative to its own SMALL magnitude, so
+        # the weighted sum is f32-clean even where |ll_i| ~ 1e4 would make
+        # naive subtraction amplify rounding into O(1) Hamiltonian noise
+        ref_arr = jnp.asarray(ref)
+
+        def logdensity(theta):
+            dll = model.log_likelihood_diff(z, theta[None, :], ref_arr)[:, 0]
+            return jnp.dot(wts, dll) + model.log_prior(theta[None, :])[0]
+
+        return logdensity
+
     if ref is not None and hasattr(model, "log_likelihood") and hasattr(model, "log_prior"):
         ll_ref = model.log_likelihood(z, jnp.asarray(ref)[None, :])[:, 0]
 

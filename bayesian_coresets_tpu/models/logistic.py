@@ -33,6 +33,48 @@ def log_likelihood(z: jax.Array, th: jax.Array) -> jax.Array:
     return -jax.nn.softplus(-_logits(z, th))
 
 
+def _softplus_diff(p: jax.Array, q: jax.Array) -> jax.Array:
+    """softplus(p) - softplus(q) without large-magnitude cancellation.
+
+    Identity: log(1+e^p) - log(1+e^q) = log1p(sigmoid(q) * expm1(p - q)),
+    exact for all p, q.  Evaluated that way the result carries relative
+    error of its own (small) magnitude instead of absolute error at the
+    ulp of softplus(p) ~ |p| — the difference matters when a weighted sum
+    amplifies per-datum rounding into O(1) Hamiltonian noise (see
+    mcmc.weighted.weighted_logdensity).  For |p - q| > 30 the identity's
+    expm1 would overflow where sigmoid underflows (inf * 0), but there is
+    no cancellation to avoid at that distance, so direct subtraction takes
+    over.
+    """
+    d = p - q
+    # evaluate with a NON-NEGATIVE expm1 argument either way: for d <= -17,
+    # f32 expm1(d) rounds to exactly -1 while sigmoid(q) rounds to 1, so the
+    # naive one-sided form hits log1p(-1) = -inf (and NaN gradients through
+    # jnp.where) inside its selected branch.  Flipping the roles of p and q
+    # for negative d keeps log1p's argument in [0, inf).
+    da = jnp.clip(jnp.abs(d), 0.0, 30.0)
+    pos = jnp.log1p(jax.nn.sigmoid(q) * jnp.expm1(da))
+    neg = -jnp.log1p(jax.nn.sigmoid(p) * jnp.expm1(da))
+    stable = jnp.where(d >= 0, pos, neg)
+    direct = jax.nn.softplus(p) - jax.nn.softplus(q)
+    return jnp.where(jnp.abs(d) < 30.0, stable, direct)
+
+
+def log_likelihood_diff(z: jax.Array, th: jax.Array, ref: jax.Array) -> jax.Array:
+    """(n, S) of ll(z, th) - ll(z, ref), computed stably.
+
+    Used by the weighted-MCMC mode-relative density: naive subtraction of
+    two log-likelihood matrices cancels catastrophically once |ll| grows
+    past ~1e4 (f32 ulp ~ 1e-3 there, amplified by coreset weights into
+    O(1) energy noise); this form keeps each per-datum difference accurate
+    relative to its own magnitude.
+    """
+    a = _logits(z, th)                               # (n, S)
+    b = _logits(z, jnp.atleast_2d(ref))[:, :1]       # (n, 1)
+    # ll = -softplus(-v): diff = softplus(-b) - softplus(-a)
+    return _softplus_diff(-b, -a)
+
+
 def log_prior(th: jax.Array) -> jax.Array:
     th = jnp.atleast_2d(th)
     return -0.5 * th.shape[1] * _LOG2PI - 0.5 * jnp.sum(th**2, axis=1)

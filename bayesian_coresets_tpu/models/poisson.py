@@ -49,6 +49,37 @@ def log_likelihood(z: jax.Array, th: jax.Array) -> jax.Array:
     return y[:, None] * s - gammaln(y + 1.0)[:, None] - lam
 
 
+def log_likelihood_diff(z: jax.Array, th: jax.Array, ref: jax.Array) -> jax.Array:
+    """(n, S) of ll(z, th) - ll(z, ref), computed stably.
+
+    The mode-relative weighted density needs per-datum DIFFERENCES; naive
+    subtraction cancels catastrophically for count data (|ll_i| ~ y log y
+    reaches 1e3-1e4 here, and coreset weights multiply the resulting f32
+    rounding into O(1) Hamiltonian noise — the mechanism that left
+    biketrips/airportdelays coreset chains unconverged on TPU).  Exact
+    identities keep every term accurate relative to its own magnitude:
+
+      lam(a) - lam(b)         = log1p(sigmoid(b) expm1(a-b))
+      log lam(a) - log lam(b) = log1p((lam(a) - lam(b)) / lam(b))
+
+    and gammaln(y+1) cancels exactly.  Falls back to direct subtraction
+    outside the softplus guard region (v <= -25, where s ~= v and rates
+    are ~1e-11 — no datapoint with y > 0 has posterior mass there).
+    """
+    from .logistic import _softplus_diff
+
+    x, y = _split(z)
+    va = _logits(x, th)                               # (n, S)
+    vb = _logits(x, jnp.atleast_2d(ref))[:, :1]       # (n, 1)
+    dlam = _softplus_diff(va, vb)
+    lam_b = jnp.maximum(jax.nn.softplus(vb), 1e-38)
+    ratio = jnp.maximum(dlam / lam_b, -1.0 + 1e-7)
+    ds_stable = jnp.log1p(ratio)
+    ds_direct = compute_s(th, x) - compute_s(jnp.atleast_2d(ref), x)[:, :1]
+    ds = jnp.where((va > _V_FLOOR) & (vb > _V_FLOOR), ds_stable, ds_direct)
+    return y[:, None] * ds - dlam
+
+
 def log_prior(th: jax.Array) -> jax.Array:
     th = jnp.atleast_2d(th)
     return -0.5 * th.shape[1] * _LOG2PI - 0.5 * jnp.sum(th**2, axis=1)

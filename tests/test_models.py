@@ -301,3 +301,117 @@ class TestLinregLowRank:
         np.testing.assert_allclose(_as_np(mu_lr), th0, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(_as_np(F) @ _as_np(F).T, np.linalg.inv(Sig0inv),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestLogLikelihoodDiff:
+    """Stable per-datum ll(th) - ll(ref): the mode-relative weighted density
+    must stay f32-accurate where naive subtraction cancels (the mechanism
+    that left biketrips/airportdelays coreset NUTS unconverged on TPU)."""
+
+    def _f64(self, fn, *args):
+        with jax.enable_x64():
+            return np.asarray(fn(*[jnp.asarray(np.asarray(a), jnp.float64)
+                                   for a in args]))
+
+    def test_logistic_matches_f64(self, rng):
+        z = jnp.asarray(rng.normal(size=(50, 4)).astype(np.float32) * 5.0)
+        ref = jnp.asarray(rng.normal(size=4).astype(np.float32))
+        th = ref[None, :] + 0.01 * jnp.asarray(rng.normal(size=(7, 4)).astype(np.float32))
+        got = _as_np(logistic.log_likelihood_diff(z, th, ref))
+        want = self._f64(lambda zz, tt, rr: logistic.log_likelihood(zz, tt)
+                         - logistic.log_likelihood(zz, rr[None, :]),
+                         z, th, ref)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_logistic_far_from_ref(self, rng):
+        # |logit difference| > 30 exercises the direct-subtraction branch
+        z = jnp.asarray(rng.normal(size=(20, 3)).astype(np.float32) * 10.0)
+        ref = jnp.zeros(3, jnp.float32)
+        th = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32) * 20.0)
+        got = _as_np(logistic.log_likelihood_diff(z, th, ref))
+        want = self._f64(lambda zz, tt, rr: logistic.log_likelihood(zz, tt)
+                         - logistic.log_likelihood(zz, rr[None, :]),
+                         z, th, ref)
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def _poisson_workload(self, rng, n=200):
+        # biketrips-like: large counts, rates matched to them -> |ll| ~ 1e3
+        x = np.concatenate([rng.normal(size=(n, 8)), np.ones((n, 1))],
+                           axis=1).astype(np.float32)
+        th_true = rng.normal(size=9).astype(np.float32)
+        lam = np.log1p(np.exp(np.clip(x @ th_true + 6.0, -30, 30)))
+        y = rng.poisson(lam).astype(np.float32)
+        z = np.concatenate([x, y[:, None]], axis=1).astype(np.float32)
+        return jnp.asarray(z), th_true
+
+    def test_poisson_matches_f64(self, rng):
+        z, th_true = self._poisson_workload(rng)
+        ref = jnp.asarray(th_true).at[-1].add(6.0)
+        th = ref[None, :] + 0.005 * jnp.asarray(
+            np.random.default_rng(0).normal(size=(7, 9)).astype(np.float32))
+        got = _as_np(poisson.log_likelihood_diff(z, th, ref))
+        want = self._f64(lambda zz, tt, rr: poisson.log_likelihood(zz, tt)
+                         - poisson.log_likelihood(zz, rr[None, :]),
+                         z, th, ref)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_poisson_beats_naive_f32(self, rng):
+        """The stable form must be orders of magnitude more accurate than
+        f32 subtraction on the weighted sum that feeds NUTS energies, at
+        the scale where the failure was observed: a ~30-point coreset of
+        biketrips_large (counts ~1e3, weights ~N/M ~ 500)."""
+        z, th_true = self._poisson_workload(rng, n=32)
+        ref = jnp.asarray(th_true).at[-1].add(6.0)
+        th = ref[None, :] + 0.003 * jnp.asarray(rng.normal(size=(64, 9)).astype(np.float32))
+        w = jnp.asarray(rng.uniform(200.0, 800.0, size=32).astype(np.float32))
+
+        truth = self._f64(lambda zz, tt, rr, ww:
+                          ww @ (poisson.log_likelihood(zz, tt)
+                                - poisson.log_likelihood(zz, rr[None, :])),
+                          z, th, ref, w)
+        stable = np.asarray(w @ poisson.log_likelihood_diff(z, th, ref))
+        naive = np.asarray(w @ (poisson.log_likelihood(z, th)
+                                - poisson.log_likelihood(z, ref[None, :])))
+        err_stable = np.abs(stable - truth).max()
+        err_naive = np.abs(naive - truth).max()
+        # naive error at this scale is a meaningful fraction of a NUTS
+        # energy budget; the stable form must stay well under it.  (The
+        # measured gap here, ~8-12x, is a LOWER bound: rounding errors of
+        # ll(th) and ll(ref) are correlated for the small th-ref offsets
+        # this test can afford in f32, and decorrelate over real NUTS
+        # trajectories.)
+        assert err_stable < 2e-3, err_stable
+        assert err_stable * 5 < err_naive, (err_stable, err_naive)
+
+    def test_poisson_grad_finite_and_accurate(self, rng):
+        z, th_true = self._poisson_workload(rng)
+        ref = jnp.asarray(th_true).at[-1].add(6.0)
+        w = jnp.asarray(rng.uniform(10.0, 60.0, size=z.shape[0]).astype(np.float32))
+        f = lambda t: w @ poisson.log_likelihood_diff(z, t[None, :], ref)[:, 0]
+        g = jax.grad(f)(ref + 0.002)
+        assert np.isfinite(_as_np(g)).all()
+        # the ll(ref) term is constant in theta, so the f64 truth is just
+        # the gradient of the weighted log-likelihood itself
+        want = self._f64(
+            lambda zz, tt, ww: jax.grad(
+                lambda t: ww @ poisson.log_likelihood(zz, t[None, :])[:, 0])(tt),
+            z, ref + 0.002, w)
+        np.testing.assert_allclose(_as_np(g), want, rtol=1e-3, atol=1e-2)
+
+    def test_softplus_diff_deep_negative_offset(self):
+        """d in (-30, -17] with saturated sigmoid(q): f32 expm1(d) rounds to
+        exactly -1, so a one-sided log1p(sigmoid(q)*expm1(d)) returns -inf
+        (and NaNs the gradient through where).  The sign-symmetric form must
+        stay finite and accurate."""
+        from bayesian_coresets_tpu.models.logistic import _softplus_diff
+        p = jnp.float32(20.0 - 25.0)   # d = -25
+        q = jnp.float32(20.0)
+        got = float(_softplus_diff(p, q))
+        with jax.enable_x64():
+            want = float(jax.nn.softplus(jnp.float64(p))
+                         - jax.nn.softplus(jnp.float64(q)))
+        assert np.isfinite(got)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        g = jax.grad(lambda a: _softplus_diff(a, q))(p)
+        assert np.isfinite(float(g))
