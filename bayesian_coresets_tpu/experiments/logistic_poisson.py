@@ -285,10 +285,11 @@ def run(arguments):
         if unconverged(rhats[m], esses[m], arguments.ess_gate) \
                 and not arguments.dense_mass:
             # first retry stays ON the accelerator with the dense (d, d)
-            # metric: the failure mode is residual posterior correlation the
-            # diagonal metric cannot equalize (airportdelays/biketrips), and
-            # dense_e fixes it at the source (see PARITY_RESULTS "Large
-            # reference datasets")
+            # metric (residual posterior correlation the diagonal cannot
+            # equalize).  Measured on the reference suite this path never
+            # fires: the stable pairwise-difference likelihood converges
+            # every dataset incl. the _large variants at the diagonal
+            # metric (PARITY_RESULTS "Large reference datasets")
             print(f"M = {Ms[m]}: coreset chains unconverged "
                   f"(split-R-hat {rhats[m]:.3f}, min ESS {esses[m]:.0f}); "
                   f"retrying with dense mass matrix")
@@ -305,8 +306,9 @@ def run(arguments):
         if unconverged(rhats[m], esses[m], arguments.ess_gate) \
                 and arguments.cpu_fallback:
             # last resort, opt-in only: retry on host CPU (libm ~0.5 ULP
-            # transcendentals).  Off by default — the dense-metric retry
-            # above converges every reference dataset on the TPU itself.
+            # transcendentals).  Off by default — the stable-difference
+            # density converges every reference dataset on the TPU itself
+            # without even the dense-metric retry firing.
             print(f"M = {Ms[m]}: coreset chains unconverged on accelerator "
                   f"(split-R-hat {rhats[m]:.3f}, min ESS {esses[m]:.0f}); "
                   f"retrying on CPU")

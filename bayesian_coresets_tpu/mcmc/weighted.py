@@ -164,17 +164,19 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
             mu, A = lap.mu, lap.USig                # Sig = A @ A.T
             if f64_logdensity:
                 # f64 ISLAND for the log-density only: extreme weighted
-                # posteriors (weight*count ~ 1e6) amplify even 1-ULP f32
-                # transcendental jitter into O(1) Hamiltonian noise (TPU
-                # chains on biketrips stayed unconverged while identical
-                # f32 CPU arithmetic mixed cleanly — CPU libm is ~0.5 ULP).
+                # posteriors (weight*count ~ 1e6) amplify f32 rounding of
+                # the large ll intermediates into O(1) Hamiltonian noise.
                 # The integrator, adaptation, and states all stay f32; only
                 # the density (and its grad path) computes in f64 and the
-                # small RELATIVE value is rounded back to f32.  Default OFF:
+                # small RELATIVE value is rounded back to f32.  Default OFF,
+                # and since the stable pairwise-difference likelihood
+                # (models.*.log_likelihood_diff — measured converging every
+                # reference dataset incl. biketrips/airportdelays _large on
+                # TPU at f32, PARITY_RESULTS "Large reference datasets")
+                # removed the cancellation at the source, this island is a
+                # diagnostic tool rather than a convergence requirement;
                 # f64 emulation through a full NUTS tree is impractically
-                # slow on current TPU runtimes; the drivers instead fall
-                # back to CPU sampling (tiny coreset data) when the R-hat
-                # gate flags an unconverged f32 run.
+                # slow on current TPU runtimes anyway.
                 x64_ctx = jax.enable_x64()
             else:
                 import contextlib
