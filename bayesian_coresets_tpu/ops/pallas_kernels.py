@@ -19,12 +19,16 @@ N=20M int8-resident, S=512): XLA 15.0 ms/iteration vs this kernel 228
 ms/iteration — the per-sequential-grid-tile overhead is ~11 us (20k tiles
 at tile_rows=1024), so the gap grows with n.
 
-FORMAL CLOSURE (round 2, corrected loop-with-fetch methodology at N=1M):
-the XLA int8 select matmul streams V at 75-91% of the 819 GB/s HBM peak
-(1, 2, or 8 direction columns measure identically — the thin RHS does not
-cost bandwidth), and the ENTIRE solver iteration (score epilogue, argmax,
-row gather, reweight scalars, w update, monotonicity bookkeeping) adds
-<=4% on top of that matmul.  There is no headroom for a fused kernel to
+FORMAL CLOSURE (round 3 geometry sweep, scripts/bench_select_bandwidth.py):
+the XLA int8 select matmul streams V at 756-758 GB/s at beyond-HBM sizes
+(>=8M rows) with <0.2% run-to-run spread — ~100% of the 753 GB/s this
+chip's memory system delivers to a matmul-free calibration read (92% of
+the 819 GB/s spec, which no kernel reaches).  Geometry (row-tile
+multiple, ragged n, unpadded S, 2-128 RHS columns) has no effect beyond
+~2%; round 2's "75-91% band" low tail was relay-latency measurement
+jitter at small sizes, not hardware.  The ENTIRE solver iteration (score
+epilogue, argmax, row gather, reweight scalars, w update, monotonicity
+bookkeeping) adds <=4% on top of that matmul.  There is no headroom for a fused kernel to
 win on any hot path of this workload: selection is input-bandwidth-bound
 at XLA's achieved rate, the reweight is O(S) scalars, the BPSVI
 (sz, S, d) contraction is a single MXU einsum XLA already fuses, and the
