@@ -138,9 +138,11 @@ def main():
     consts = shard_consts(snnls.make_consts(jnp.asarray(Am), jnp.asarray(bm)),
                           mesh)
     state = shard_state(snnls.init_state(consts, max_active=256), mesh)
-    fn = jax.jit(lambda c, s: snnls.build(c, s, 50, config.TOL,
-                                          method="giga", spmd=True))
-    stats = collective_stats(fn.lower(consts, state).compile().as_text())
+    from bayesian_coresets_tpu.parallel.coreset import _build_fn
+    fn = _build_fn(mesh, "giga", shard_proj=False, matvec_k=1024)
+    stats = collective_stats(
+        fn.lower(consts, state, jnp.int32(50),
+                 jnp.float32(config.TOL)).compile().as_text())
     # scale S-dependent collective payloads from the proxy S=64 to S_MODEL;
     # the HLO-asserted invariant is that nothing scales with n
     coll_bytes = sum(by * (S_MODEL / 64 if by >= 64 * 4 else 1.0)

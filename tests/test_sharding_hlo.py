@@ -1,18 +1,17 @@
 """Compiled-HLO assertions on the sharded build's communication volume.
 
 The scaling claim behind the data-parallel design (SURVEY.md §2.5: per-shard
-partials + psum-reduced residual statistics) is only real if the GSPMD
-partitioner actually keeps V = A.T (n, S) partitioned.  A single
-data-dependent gather along the sharded n axis silently makes XLA
-ALL-GATHER the whole matrix onto every device — replicated memory, O(n*S)
-communication, and a scaling story that is false while every numerical test
-still passes.  These tests inspect the optimized HLO of the compiled
-sharded build and fail if that ever happens again:
+partials + psum-reduced residual statistics) is only real if the sharded
+program (a) keeps V = A.T (n, S) partitioned and (b) streams the local V
+shard exactly once per iteration.  The shard_map build (parallel/coreset.py)
+makes every cross-shard exchange an explicit collective, so the compiled
+HLO can be audited directly:
 
 1. no collective's result touches an n-scale operand (V or an (n,) vector);
 2. total collective bytes are IDENTICAL when n doubles (n-independence);
-3. the detector itself is validated against the known-bad pattern
-   (``spmd=False`` on sharded inputs reproduces the V all-gather).
+3. the detector itself is validated against the known-bad pattern (the
+   plain jitted build GSPMD-partitioned over sharded inputs resolves its
+   dynamic row gathers by ALL-GATHERING V).
 """
 
 import jax
@@ -22,12 +21,13 @@ import pytest
 
 from bayesian_coresets_tpu.ops import snnls
 from bayesian_coresets_tpu.parallel import make_mesh
-from bayesian_coresets_tpu.parallel.coreset import shard_consts, shard_state
+from bayesian_coresets_tpu.parallel.coreset import (_build_fn, shard_consts,
+                                                    shard_state)
 from bayesian_coresets_tpu.utils import config
 from bayesian_coresets_tpu.utils.hlo import collective_stats
 
 
-def _compiled_build_hlo(n, S, mesh, quantized=False, spmd=True, itrs=50):
+def _make_problem(n, S, quantized):
     rng = np.random.default_rng(0)
     A = rng.normal(size=(S, n)).astype(np.float32)
     b = A.sum(axis=1)
@@ -37,16 +37,19 @@ def _compiled_build_hlo(n, S, mesh, quantized=False, spmd=True, itrs=50):
         Vq = np.clip(np.round(V / norms[:, None] * 127.0), -127, 127).astype(np.int8)
         consts = snnls.make_consts_quantized(jnp.asarray(Vq), jnp.asarray(norms),
                                              jnp.asarray(b))
-        kw = dict(matvec_k=256)
-    else:
-        consts = snnls.make_consts(jnp.asarray(A), jnp.asarray(b))
-        kw = {}
+        return consts, dict(matvec_k=256)
+    return snnls.make_consts(jnp.asarray(A), jnp.asarray(b)), {}
+
+
+def _compiled_build_hlo(n, S, mesh, quantized=False, method="giga", itrs=50):
+    consts, kw = _make_problem(n, S, quantized)
     consts = shard_consts(consts, mesh)
     state = snnls.init_state(consts, max_active=256)
     state = shard_state(state, mesh)
-    fn = jax.jit(lambda c, s: snnls.build(c, s, itrs, config.TOL,
-                                          method="giga", spmd=spmd, **kw))
-    return fn.lower(consts, state).compile().as_text()
+    fn = _build_fn(mesh, method, shard_proj=False,
+                   matvec_k=kw.get("matvec_k", 1024))
+    return fn.lower(consts, state, jnp.int32(itrs),
+                    jnp.float32(config.TOL)).compile().as_text()
 
 
 @pytest.mark.parametrize("quantized", [False, True],
@@ -61,14 +64,15 @@ def test_v_stays_partitioned_and_collectives_are_n_independent(
     stats2 = collective_stats(_compiled_build_hlo(n2, S, mesh, quantized))
 
     # (1) no collective result at n scale: the largest legitimate collective
-    # is an O(S) all-reduce (refresh matvec / row reduction) or the
-    # O(devices) argmax exchange — far below even one shard of V or an (n,)
-    # vector.  An all-gathered V would be n*S bytes; an (n,) gather n*4.
-    cap = 4 * (S + ndev) * 4          # bytes; generous headroom over O(S)
+    # is an O(S) all-reduce (row extraction / refresh matvec; S is padded to
+    # the 128 lane multiple in quantized mode) or the O(devices) argmax
+    # exchange — far below even one shard of V or an (n,) vector.
+    Sp = 128 if quantized else S
+    cap = 4 * (Sp + ndev) * 4         # bytes; generous headroom over O(S)
     for op, nbytes, line in stats1 + stats2:
         assert nbytes <= cap, (
             f"collective touches an n-scale operand ({nbytes} bytes > cap "
-            f"{cap}): GSPMD is replicating sharded data\n{line[:200]}")
+            f"{cap}): the sharded build is replicating data\n{line[:200]}")
         assert nbytes < n1 * 4, line[:200]
 
     # (2) communication volume must not change when n doubles
@@ -81,22 +85,48 @@ def test_v_stays_partitioned_and_collectives_are_n_independent(
     assert any(op == "all-reduce" for op, _, _ in stats1)
 
 
+def test_omp_sharded_collectives_are_n_independent(cpu_devices):
+    """OrthoPursuit's per-iteration active-set gather is O(K*S) — legal, but
+    it must stay independent of n (VERDICT r3 missing #2)."""
+    S, n1, n2, K = 32, 2048, 4096, 256
+    mesh = make_mesh({"data": 8})
+    stats1 = collective_stats(
+        _compiled_build_hlo(n1, S, mesh, method="orthopursuit"))
+    stats2 = collective_stats(
+        _compiled_build_hlo(n2, S, mesh, method="orthopursuit"))
+    # the (K, S) active-row psum dominates and legitimately exceeds O(n)
+    # at this toy n — n-INDEPENDENCE (below) is the scaling guarantee
+    cap = 2 * K * S * 4
+    for op, nbytes, line in stats1 + stats2:
+        assert nbytes <= cap, line[:200]
+    sig1 = sorted((op, nbytes) for op, nbytes, _ in stats1)
+    sig2 = sorted((op, nbytes) for op, nbytes, _ in stats2)
+    assert sig1 == sig2
+
+
 def test_detector_catches_replicated_v(cpu_devices):
-    """The known-bad pattern (dynamic row gathers on sharded V, spmd=False)
-    must trip the same assertions — otherwise the tests above prove nothing."""
+    """The known-bad pattern (plain jitted build GSPMD-auto-partitioned over
+    sharded inputs: dynamic row gathers along the sharded axis) must trip
+    the same assertions — otherwise the tests above prove nothing."""
     S, n = 32, 2048
     mesh = make_mesh({"data": 8})
-    stats = collective_stats(_compiled_build_hlo(n, S, mesh, spmd=False))
+    consts, _ = _make_problem(n, S, quantized=False)
+    consts = shard_consts(consts, mesh)
+    state = snnls.init_state(consts, max_active=256)
+    state = shard_state(state, mesh)
+    fn = jax.jit(lambda c, s: snnls.build(c, s, 50, config.TOL, method="giga"))
+    stats = collective_stats(fn.lower(consts, state).compile().as_text())
     biggest = max(nbytes for _, nbytes, _ in stats)
     # the V all-gather reassembles the full (n, S) f32 matrix
     assert biggest >= n * S * 4, (
-        "expected the spmd=False build to all-gather V; if XLA now "
-        "partitions dynamic gathers natively, spmd mode may be retired")
+        "expected the GSPMD-auto build to all-gather V; if XLA now "
+        "partitions dynamic gathers natively, re-benchmark both paths")
 
 
 def test_spmd_build_bit_matches_gather_build(rng, cpu_devices):
-    """One-hot masked access selects the same rows: f32 results must be
-    BIT-identical to the single-device gather-based build."""
+    """Owner-shard extraction selects the same rows and psums them against
+    zeros: f32 sharded results must be BIT-identical to the single-device
+    gather-based build."""
     S, n = 32, 2048
     A = rng.normal(size=(S, n)).astype(np.float32)
     b = A.sum(axis=1)
