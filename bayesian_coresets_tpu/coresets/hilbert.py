@@ -55,15 +55,28 @@ def _write_chunk(buf, q, start, bacc, bsum):
     return (jax.lax.dynamic_update_slice(buf, q, (start, 0)), bacc + bsum)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf, q, start):
+    """Write an int8 chunk into a (committed, per-device) shard buffer."""
+    return jax.lax.dynamic_update_slice(buf, q, (start, 0))
+
+
 class HilbertCoreset(Coreset):
     def __init__(self, data, ll_projector: Projector, n_subsample: int | None = None,
                  snnls=GIGA, seed: int = 0, max_active: int | None = None,
-                 select_dtype=None, stream_chunk_size: int | None = None):
+                 select_dtype=None, stream_chunk_size: int | None = None,
+                 mesh=None):
         super().__init__()
         data = np.asarray(data)
+        if mesh is not None and stream_chunk_size is None:
+            raise ValueError("mesh requires stream_chunk_size (the sharded "
+                             "path streams chunks into per-device int8 "
+                             "shards); for small in-HBM problems use "
+                             "parallel.build_sharded directly")
         if stream_chunk_size is not None:
             self._init_streamed(data, ll_projector, int(stream_chunk_size),
-                                snnls, seed, max_active, n_subsample)
+                                snnls, seed, max_active, n_subsample,
+                                mesh=mesh)
             return
         if n_subsample is None:
             sub_idcs = np.arange(data.shape[0])
@@ -91,12 +104,23 @@ class HilbertCoreset(Coreset):
         self.data = data
 
     def _init_streamed(self, data, ll_projector, chunk: int, snnls_cls,
-                       seed: int, max_active, n_subsample):
+                       seed: int, max_active, n_subsample, mesh=None):
         """Chunked projection -> on-chip int8 quantization -> int8-resident
-        solver consts.  No f32 (n, S) is materialized on device or host."""
+        solver consts.  No f32 (n, S) is materialized on device or host.
+
+        ``mesh``: quantized chunks stream directly into per-device row
+        shards (``_init_streamed_sharded``) and the solver runs the
+        shard_map SPMD build — the beyond-HBM ceiling scales with the
+        device count (8 x v5e ~ N=160M at S=512) with no host- or
+        single-device-resident copy of the full matrix ever existing.
+        """
         if n_subsample is not None:
             raise ValueError("stream_chunk_size and n_subsample are mutually "
                              "exclusive (subsample the data first instead)")
+        if mesh is not None:
+            self._init_streamed_sharded(data, ll_projector, chunk, snnls_cls,
+                                        seed, max_active, mesh)
+            return
         n = data.shape[0]
         n_chunks = -(-n // chunk)
 
@@ -146,6 +170,89 @@ class HilbertCoreset(Coreset):
             jnp.pad(b, (0, buf.shape[1] - b.shape[0])),   # tiny (S,) -> (Sp,)
             valid=jnp.asarray(valid), sampling=sampling)
         self.snnls = snnls_cls.from_consts(consts, seed=seed, max_active=max_active)
+        self.sub_idcs = np.arange(n)
+        self.data = data
+
+    def _init_streamed_sharded(self, data, ll_projector, chunk: int,
+                               snnls_cls, seed: int, max_active, mesh):
+        """Streamed construction directly into a row-sharded int8 buffer.
+
+        Each mesh shard's rows are projected chunk by chunk, quantized
+        on-chip, and the int8 chunk (4x smaller than the f32 projection)
+        is placed into that shard's local buffer; the global array is
+        assembled from the per-device pieces with
+        ``jax.make_array_from_single_device_arrays`` — no single device or
+        host ever holds more than its 1/|mesh| int8 shard plus one f32
+        chunk.  The solver then runs the shard_map SPMD build
+        (parallel/coreset.py).  Multi-host deployments run this same loop
+        per controller over ``distributed.local_data_shard`` row ranges.
+        Reference analogue: the N-scaling intent of hilbert.py:16
+        subsampling, replaced by actually scaling N.
+        """
+        import math
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        if tuple(mesh.axis_names) != (DATA_AXIS,):
+            raise ValueError("streamed-sharded construction takes a 1-D "
+                             f"'{DATA_AXIS}' mesh (int8-resident builds are "
+                             "data-parallel only)")
+        ndata = mesh.shape[DATA_AXIS]
+        devs = list(mesh.devices.reshape(-1))
+        n = data.shape[0]
+        rows_glob = _round_up(n, math.lcm(1024, ndata))
+        rows_loc = rows_glob // ndata
+
+        # same fixed-context requirement as the single-device stream
+        sentinel = jnp.asarray(data[:1])
+        p1 = np.asarray(ll_projector.project(sentinel))
+        p2 = np.asarray(ll_projector.project(sentinel))
+        if not np.array_equal(p1, p2):
+            raise ValueError(
+                "stream_chunk_size requires a projector with a fixed context "
+                "across project() calls; this one returned different vectors "
+                "for the same input (does it resample inside project()?)")
+        S = p1.shape[1]
+        Sp = _round_up(S, 128)
+
+        b_total = np.zeros(S, np.float64)
+        norm_parts = []
+        local_bufs = []
+        for k in range(ndata):
+            buf_k = jax.device_put(jnp.zeros((rows_loc, Sp), jnp.int8), devs[k])
+            shard_lo = k * rows_loc
+            shard_n = max(0, min(n - shard_lo, rows_loc))
+            for lo in range(0, shard_n, chunk):
+                live = min(chunk, shard_n - lo)
+                xc = np.zeros((chunk,) + data.shape[1:], data.dtype)
+                xc[:live] = data[shard_lo + lo: shard_lo + lo + live]
+                vecs = ll_projector.project(jnp.asarray(xc))
+                q, nrm, bsum = _quantize_chunk(vecs, jnp.int32(live))
+                if q.shape[1] != Sp:
+                    q = jnp.pad(q, ((0, 0), (0, Sp - q.shape[1])))
+                # ship the int8 chunk (not the f32 projection) to its owner
+                buf_k = _write_rows(buf_k, jax.device_put(q, devs[k]),
+                                    jnp.int32(lo))
+                b_total += np.asarray(bsum, np.float64)
+                norm_parts.append(np.asarray(nrm)[:live])
+            local_bufs.append(buf_k)
+
+        norms = np.concatenate(norm_parts) if norm_parts else np.zeros(0, np.float32)
+        pad = rows_glob - n
+        valid = np.pad(norms > 0.0, (0, pad))
+        if not valid.any():
+            raise ValueError("all projected vectors are zero or masked")
+        Vq = jax.make_array_from_single_device_arrays(
+            (rows_glob, Sp), NamedSharding(mesh, P(DATA_AXIS, None)), local_bufs)
+        sampling = snnls_cls.method if snnls_cls.method in ("importance", "uniform") else None
+        consts = make_consts_quantized(
+            Vq, jnp.asarray(np.pad(norms, (0, pad), constant_values=1.0).astype(np.float32)),
+            jnp.asarray(np.pad(b_total.astype(np.float32), (0, Sp - S))),
+            valid=jnp.asarray(valid), sampling=sampling)
+        self.snnls = snnls_cls.from_consts(consts, seed=seed,
+                                           max_active=max_active, mesh=mesh)
         self.sub_idcs = np.arange(n)
         self.data = data
 

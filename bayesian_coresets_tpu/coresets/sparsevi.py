@@ -165,6 +165,28 @@ def svi_optimize(data, wts, idcs, size, key, *, family, n_sub_opt,
 
 
 @partial(jax.jit, static_argnames=("family", "n_sub"))
+def svi_error_pair(data, w_old, w_new, idcs, size, key, *, family, n_sub):
+    """(error(w_old), error(w_new)) under ONE shared context built from
+    ``w_old`` — the like-for-like comparison optimize() needs: both
+    residual norms live in the same tangent space with the same Monte-Carlo
+    samples (common random numbers), so their difference reflects the
+    weight change alone, not the measure's dependence on the weights (a
+    corrupted w that concentrates its own refit posterior can shrink a
+    self-measured estimate)."""
+    carry = _init_carry(data, family, w_old, idcs, size)
+    vecs, scale, _, corevecs, _, mask, _ = _projections(
+        data, family, key, w_old, idcs, size, n_sub, carry)
+    S = vecs.shape[1]
+    base = scale * jnp.sum(vecs, axis=0)
+
+    def e(w):
+        resid = base - jnp.where(mask, w, 0.0) @ corevecs
+        return jnp.sqrt(jnp.sum(resid * resid) / S)
+
+    return e(w_old), e(w_new)
+
+
+@partial(jax.jit, static_argnames=("family", "n_sub"))
 def svi_error(data, wts, idcs, size, key, *, family, n_sub):
     """Monte-Carlo estimate of the Hilbert residual norm
     ||sum_i ell_i - sum_m w_m ell_m|| / sqrt(S) under the current coreset
@@ -265,13 +287,42 @@ class SparseVICoreset(Coreset):
             opt_itrs=self.opt_itrs, step_sched=self.step_sched)
         self._sync()
 
+    # relative slack for the CRN rollback check: with common random numbers
+    # the sampling noise is shared between the before/after estimates, so
+    # what remains is the (small) dependence of the MC measure on the
+    # updated weights — a genuine optimizer failure moves the error by far
+    # more than this
+    _CRN_SLACK = 1e-3
+
     def optimize(self):
-        # the base-class rollback compares error() before/after; with the
-        # reference's error()==0 that check never fires (coreset.py:47-64),
-        # and our Monte-Carlo error estimate must not trigger spurious
-        # rollbacks from sampling noise — so optimize runs unchecked here,
-        # matching the reference's effective behavior.
+        """Weight re-optimization with a common-random-number rollback.
+
+        The reference's base-class contract (coreset.py:47-64) rolls back
+        any optimize() that increases error(); its SparseVI error() is an
+        unimplemented 0.0 so the check never fires there.  Our Monte-Carlo
+        estimate would trip it on sampling noise with independent draws and
+        can be gamed by the measure's own weight dependence — so BOTH
+        residual norms are evaluated in one shared tangent space built from
+        the pre-optimize weights with one shared key (common random
+        numbers, see svi_error_pair): the comparison isolates the weight
+        change.
+        """
+        if self._cap == 0 or int(self._size) == 0:
+            self._optimize()
+            return
+        self._key, k_err = jax.random.split(self._key)
+        old = (self._wts, self._idcs, self._size)
         self._optimize()
+        prev_cost, new_cost = (float(v) for v in svi_error_pair(
+            self.data, old[0], self._wts, self._idcs, self._size, k_err,
+            family=self.family, n_sub=self.n_subsample_opt))
+        if new_cost > prev_cost * (1.0 + self._CRN_SLACK + config.TOL):
+            self.log.warning(
+                f"optimize() increased error: prev = {prev_cost}, "
+                f"new = {new_cost} (CRN estimate); rolling back")
+            self._wts, self._idcs, self._size = old
+            self._sync()
+            self.reached_numeric_limit = True
 
     def error(self) -> float:
         """MC estimate of the Hilbert residual norm (see svi_error).

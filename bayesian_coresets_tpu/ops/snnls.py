@@ -300,10 +300,14 @@ def _argmax_n(score: jax.Array, axes=None):
     v = score[i]
     if _data_ax(axes):
         gi = (_shard_lo(score.shape[0], axes) + i).astype(jnp.int32)
-        vs = jax.lax.all_gather(v, _data_ax(axes))
-        gis = jax.lax.all_gather(gi, _data_ax(axes))
-        k = jnp.argmax(vs)
-        return gis[k], vs[k]
+        # one collective phase: the index rides the value exchange as raw
+        # bits (XLA's all-gather combiner does not merge mixed-dtype pairs)
+        payload = jnp.stack([v.astype(jnp.float32),
+                             jax.lax.bitcast_convert_type(gi, jnp.float32)])
+        gathered = jax.lax.all_gather(payload, _data_ax(axes))   # (devices, 2)
+        k = jnp.argmax(gathered[:, 0])
+        f = jax.lax.bitcast_convert_type(gathered[k, 1], jnp.int32)
+        return f, gathered[k, 0]
     return i, v
 
 
@@ -413,11 +417,16 @@ def init_state(consts: SNNLSConsts, key: jax.Array | None = None,
     )
 
 
+def error_core(consts: SNNLSConsts, w: jax.Array, support: int = 1024,
+               axes=None) -> jax.Array:
+    xw = _v_matvec(consts, w, support=support, axes=axes)
+    return _cached_error(consts, xw, axes=axes)
+
+
 @partial(jax.jit, static_argnames=("support",))
 def error(consts: SNNLSConsts, w: jax.Array, support: int = 1024) -> jax.Array:
     """||A w - b||_2 (snnls/snnls.py:28-29)."""
-    xw = _v_matvec(consts, w, support=support)
-    return jnp.sqrt(jnp.sum((xw - consts.b) ** 2))
+    return error_core(consts, w, support=support, axes=None)
 
 
 def _cached_error(consts: SNNLSConsts, xw: jax.Array, axes=None) -> jax.Array:
@@ -867,22 +876,23 @@ def build(consts: SNNLSConsts, state: SNNLSState, itrs, tol, method: str = "giga
                       use_pallas=use_pallas, matvec_k=matvec_k, axes=None)
 
 
-@jax.jit
-def optimize_active(consts: SNNLSConsts, state: SNNLSState, idcs: jax.Array,
-                    size, tol, num_iters: int = 512):
+def optimize_active_core(consts: SNNLSConsts, state: SNNLSState,
+                         idcs: jax.Array, size, tol, num_iters: int = 512,
+                         axes=None):
     """Re-solve weights on the current active set (snnls/snnls.py:81-97).
 
     ``idcs`` are the active column indices (padded, covering ALL w>0
     entries); returns the candidate state and whether it improved the cost
-    (caller rolls back otherwise).
+    (caller rolls back otherwise).  Sharded: one O(K*S) active-row psum,
+    replicated solve, owner-local scatter (like _omp_step).
     """
     mask = jnp.arange(idcs.shape[0]) < size
     safe_idcs = jnp.where(mask, idcs, 0)
-    Aact = _gather_rows(consts, safe_idcs, mask)
+    Aact = _gather_rows(consts, safe_idcs, mask, axes=axes)
     w_act = nnls_rows(Aact, consts.b, mask, num_iters=num_iters)
-    w = jnp.zeros_like(state.w).at[idcs].add(jnp.where(mask, w_act, 0.0))
+    w = _scatter_vec(state.w, safe_idcs, mask, w_act, axes=axes)
     xw = jnp.dot(w_act, Aact, preferred_element_type=jnp.float32)
-    prev_w_act = jnp.where(mask, state.w[safe_idcs], 0.0)
+    prev_w_act = _gather_vec(state.w, safe_idcs, mask, axes=axes)
     prev_cost = _cached_error(consts, jnp.dot(prev_w_act, Aact, preferred_element_type=jnp.float32))
     new_cost = _cached_error(consts, xw)
     ok = new_cost <= prev_cost * (1.0 + tol)
@@ -895,12 +905,24 @@ def optimize_active(consts: SNNLSConsts, state: SNNLSState, idcs: jax.Array,
 
 
 @jax.jit
-def _active_set(state: SNNLSState):
+def optimize_active(consts: SNNLSConsts, state: SNNLSState, idcs: jax.Array,
+                    size, tol, num_iters: int = 512):
+    return optimize_active_core(consts, state, idcs, size, tol,
+                                num_iters=num_iters, axes=None)
+
+
+def _active_set_core(state: SNNLSState, axes=None):
     """Tracked-support (indices, weights) — a small fixed-size transfer."""
     K = state.idcs.shape[0]
     mask = jnp.arange(K) < state.size
     safe = jnp.where(mask, state.idcs, 0)
-    return jnp.where(mask, safe, -1), jnp.where(mask, state.w[safe], 0.0)
+    return (jnp.where(mask, safe, -1),
+            _gather_vec(state.w, safe, mask, axes=axes))
+
+
+@jax.jit
+def _active_set(state: SNNLSState):
+    return _active_set_core(state, axes=None)
 
 
 # ---------------------------------------------------------------------------
@@ -936,28 +958,54 @@ class SparseNNLS:
         n = self.consts.V.shape[0]
         self._max_active = int(max_active) if max_active is not None else min(n, 1024)
         self._seed = seed
+        self._mesh = None
         self.state = init_state(self.consts, jax.random.key(seed), self._max_active)
 
     @classmethod
     def from_consts(cls, consts: SNNLSConsts, seed: int = 0,
-                    max_active: int | None = None):
+                    max_active: int | None = None, mesh=None):
         """Wrap pre-built problem constants (e.g. int8-resident consts from
         :func:`make_consts_quantized` built by a streamed projection) without
-        re-materializing A.  Zero columns must already carry valid=False."""
+        re-materializing A.  Zero columns must already carry valid=False.
+
+        ``mesh``: a ``jax.sharding.Mesh`` — the consts are placed row-sharded
+        over its data axis (a no-op for already-sharded buffers, e.g. the
+        streamed-sharded HilbertCoreset path) and every operation (build /
+        error / optimize / active-set extraction) runs through the shard_map
+        SPMD path with O(S) per-iteration collectives.  Row count must be a
+        multiple of lcm(1024, mesh data size) (the streamed constructors
+        pre-pad to this).
+        """
         self = cls.__new__(cls)
-        self.consts = consts
         if cls.method == "giga" and float(consts.bnorm) == 0.0:
             from ..utils.errors import NumericalPrecisionError
             raise NumericalPrecisionError("norm of b must be > 0")
         n = consts.V.shape[0]
         self._max_active = int(max_active) if max_active is not None else min(n, 1024)
         self._seed = seed
-        self.state = init_state(consts, jax.random.key(seed), self._max_active)
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel.coreset import shard_consts
+            from ..parallel.mesh import DATA_AXIS
+            ndata = mesh.shape[DATA_AXIS]
+            if n % ndata:
+                raise ValueError(f"row count {n} must divide the mesh data "
+                                 f"axis ({ndata}); pre-pad with valid=False")
+            consts = shard_consts(consts, mesh)
+        self.consts = consts
+        self.state = self._fresh_state()
         return self
+
+    def _fresh_state(self):
+        state = init_state(self.consts, jax.random.key(self._seed), self._max_active)
+        if self._mesh is not None:
+            from ..parallel.coreset import shard_state
+            state = shard_state(state, self._mesh)
+        return state
 
     # -- reference API ------------------------------------------------------
     def reset(self):
-        self.state = init_state(self.consts, jax.random.key(self._seed), self._max_active)
+        self.state = self._fresh_state()
 
     def save(self, path: str):
         """Checkpoint the solver state (resume with :meth:`restore`)."""
@@ -967,6 +1015,9 @@ class SparseNNLS:
     def restore(self, path: str):
         from ..utils import checkpoint
         self.state, _ = checkpoint.load(path, like=self.state)
+        if self._mesh is not None:
+            from ..parallel.coreset import shard_state
+            self.state = shard_state(self.state, self._mesh)
 
     def size(self) -> int:
         return int(jnp.sum(self.state.w > 0))
@@ -986,7 +1037,11 @@ class SparseNNLS:
         """
         import numpy as np
         if self.state.idcs.shape[0]:
-            idx, vals = _active_set(self.state)
+            if self._mesh is not None:
+                from ..parallel.coreset import _active_fn
+                idx, vals = _active_fn(self._mesh)(self.state)
+            else:
+                idx, vals = _active_set(self.state)
             idx, vals = np.asarray(idx), np.asarray(vals)
         else:
             vals = np.asarray(self.state.w)
@@ -995,6 +1050,10 @@ class SparseNNLS:
         return idx[keep], vals[keep]
 
     def error(self) -> float:
+        if self._mesh is not None:
+            from ..parallel.coreset import _error_fn
+            return float(_error_fn(self._mesh, self._max_active)(
+                self.consts, self.state.w))
         return float(error(self.consts, self.state.w, support=self._max_active))
 
     @property
@@ -1014,8 +1073,7 @@ class SparseNNLS:
         if self.reached_numeric_limit or self.consts.V.size == 0 or itrs <= 0:
             return
         if checkpoint_path is None:
-            self.state = build(self.consts, self.state, itrs, config.TOL,
-                               method=self.method, matvec_k=self._max_active)
+            self.state = self._run_build(itrs)
             return
         import os
         from ..utils import checkpoint as ckpt
@@ -1029,9 +1087,18 @@ class SparseNNLS:
         chunk = checkpoint_every or itrs
         while int(self.state.itr) < target and not self.reached_numeric_limit:
             step = min(chunk, target - int(self.state.itr))
-            self.state = build(self.consts, self.state, step, config.TOL,
-                               method=self.method, matvec_k=self._max_active)
+            self.state = self._run_build(step)
             self.save(checkpoint_path)
+
+    def _run_build(self, itrs: int) -> SNNLSState:
+        if self._mesh is not None:
+            from ..parallel.coreset import _build_fn
+            fn = _build_fn(self._mesh, self.method, shard_proj=False,
+                           matvec_k=self._max_active)
+            return fn(self.consts, self.state, jnp.int32(itrs),
+                      jnp.float32(config.TOL))
+        return build(self.consts, self.state, itrs, config.TOL,
+                     method=self.method, matvec_k=self._max_active)
 
     def optimize(self, solver: str = "fista"):
         """Re-solve the weights on the active set (snnls/snnls.py:81-97).
@@ -1042,6 +1109,25 @@ class SparseNNLS:
         cost-increase rollback + numeric-limit latch.
         """
         import numpy as np
+        if self._mesh is not None:
+            # active set via the O(max_active) sharded extraction; the
+            # re-solve gathers K rows with one O(K*S) psum inside shard_map
+            # (the host-side paths below would all-gather the sharded V)
+            if solver == "exact":
+                raise ValueError("exact (host C++ Lawson-Hanson) optimize is "
+                                 "single-device; mesh-sharded solvers use the "
+                                 "on-chip FISTA active-set resolve")
+            act, _ = self.active()
+            if act.size == 0:
+                return
+            from ..parallel.coreset import _optimize_fn
+            pad = int(2 ** int(np.ceil(np.log2(max(act.size, 8)))))
+            idcs = np.zeros(pad, dtype=np.int32)
+            idcs[: act.size] = act
+            self.state, _ = _optimize_fn(self._mesh, 512)(
+                self.consts, self.state, jnp.asarray(idcs),
+                jnp.int32(act.size), jnp.float32(config.TOL))
+            return
         w = np.asarray(self.state.w)
         act = np.flatnonzero(w > 0)
         if act.size == 0:

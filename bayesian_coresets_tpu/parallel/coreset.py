@@ -103,6 +103,46 @@ def _build_fn(mesh: Mesh, method: str, shard_proj: bool, matvec_k: int):
     return fn
 
 
+def _active_fn(mesh: Mesh):
+    """shard_map'd tracked-support extraction (O(max_active) transfer)."""
+    key = (mesh, "active")
+    fn = _BUILD_FNS.get(key)
+    if fn is None:
+        core = partial(snnls._active_set_core, axes=(DATA_AXIS, None))
+        fn = jax.jit(jax.shard_map(core, mesh=mesh,
+                                   in_specs=(_state_specs(None),),
+                                   out_specs=(P(), P()), check_vma=False))
+        _BUILD_FNS[key] = fn
+    return fn
+
+
+def _error_fn(mesh: Mesh, support: int):
+    key = (mesh, "error", support)
+    fn = _BUILD_FNS.get(key)
+    if fn is None:
+        core = partial(snnls.error_core, support=support,
+                       axes=(DATA_AXIS, None))
+        fn = jax.jit(jax.shard_map(core, mesh=mesh,
+                                   in_specs=(_consts_specs(None), P(DATA_AXIS)),
+                                   out_specs=P(), check_vma=False))
+        _BUILD_FNS[key] = fn
+    return fn
+
+
+def _optimize_fn(mesh: Mesh, num_iters: int):
+    key = (mesh, "optimize", num_iters)
+    fn = _BUILD_FNS.get(key)
+    if fn is None:
+        core = partial(snnls.optimize_active_core, num_iters=num_iters,
+                       axes=(DATA_AXIS, None))
+        fn = jax.jit(jax.shard_map(
+            core, mesh=mesh,
+            in_specs=(_consts_specs(None), _state_specs(None), P(), P(), P()),
+            out_specs=(_state_specs(None), P()), check_vma=False))
+        _BUILD_FNS[key] = fn
+    return fn
+
+
 def _pad_multiple(n: int, m: int) -> int:
     return -(-n // m) * m
 

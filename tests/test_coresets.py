@@ -251,6 +251,57 @@ class TestStreamedHilbert:
         hs.build(50)
         assert hs.error() >= 0.0
 
+    def test_streamed_sharded_matches_single_device(self, gauss_setup):
+        """mesh= streams quantized chunks directly into per-device row
+        shards (no host/single-device full copy) and runs the shard_map
+        SPMD build: quantized consts must equal the single-device stream's,
+        and the build must match an unsharded solver on the same consts."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from bayesian_coresets_tpu.ops import snnls as S
+        from bayesian_coresets_tpu.parallel import make_mesh
+
+        g = gauss_setup
+        prj = bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"])
+        mesh = make_mesh({"data": 8})
+        hs = bct.HilbertCoreset(g["x"], prj, stream_chunk_size=64, mesh=mesh)
+        consts = hs.snnls.consts
+        assert consts.V.sharding.spec == P("data", None)
+
+        # same quantization as direct on-host projection (rows are
+        # chunk-local, so they must be bitwise equal)
+        vecs = np.asarray(prj.project(g["x"]))
+        norms = np.sqrt((vecs**2).sum(axis=1))
+        safe = np.where(norms > 0, norms, 1.0)
+        Vq = np.clip(np.round(vecs / safe[:, None] * 127.0), -127, 127).astype(np.int8)
+        N = g["N"]
+        np.testing.assert_array_equal(np.asarray(consts.V)[:N, :g["S"]], Vq)
+        np.testing.assert_allclose(np.asarray(consts.norms)[:N], norms, rtol=1e-5)
+        assert not np.asarray(consts.valid)[N:].any()
+
+        # sharded build == unsharded build on the SAME consts (50 iters:
+        # below the REFRESH_EVERY boundary where the sharded dense refresh
+        # legitimately reorders the quantized matvec sum)
+        hs.build(50)
+        host = S.make_consts_quantized(
+            jnp.asarray(np.asarray(consts.V)), jnp.asarray(np.asarray(consts.norms)),
+            jnp.asarray(np.asarray(consts.b)), valid=jnp.asarray(np.asarray(consts.valid)))
+        alg = S.GIGA.from_consts(host, max_active=hs.snnls._max_active)
+        alg.build(50)
+        i1, v1 = hs.snnls.active()
+        i2, v2 = alg.active()
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-7)
+
+        # quality end-to-end + the sharded FISTA optimize path
+        hs.build(50)
+        w, p, i = hs.get()
+        assert g["rkl"](w, p) < 1.0
+        e0 = hs.error()
+        hs.optimize()
+        assert hs.error() <= e0 * (1.0 + 1e-5)
+
     def test_streamed_rejects_subsample(self, gauss_setup):
         g = gauss_setup
         prj = bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"])
@@ -274,6 +325,37 @@ class TestStreamedHilbert:
         np.testing.assert_allclose(np.asarray(consts.b)[:g["S"]], vecs.sum(axis=0),
                                    rtol=1e-4, atol=1e-3)
         assert not np.asarray(consts.valid)[N:].any()
+
+
+def test_sparsevi_optimize_crn_checked(gauss_setup):
+    """optimize() restores the base-class rollback contract via common
+    random numbers: a healthy re-opt never latches (the CRN before/after
+    estimates share their sampling noise), while an optimize that genuinely
+    worsens the objective is rolled back and latches the numeric limit."""
+    g = gauss_setup
+    a = bct.SparseVICoreset(g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"]),
+                            opt_itrs=20, seed=1, capacity=16)
+    a.build(8)
+    wts_before = a.wts.copy()
+    a.optimize()
+    assert not a.reached_numeric_limit          # no spurious noise rollback
+    assert a.size() > 0
+
+    # force a genuinely-worsening "optimization": corrupt the weights
+    b = bct.SparseVICoreset(g["x"], bct.BlackBoxProjector(g["sampler_bb"], g["S"], g["loglik"]),
+                            opt_itrs=20, seed=1, capacity=16)
+    b.build(8)
+    good = np.asarray(b.wts).copy()
+
+    def corrupt():
+        b._wts = b._wts.at[:].multiply(50.0)
+        b._sync()
+
+    b._optimize = corrupt
+    b.optimize()
+    assert b.reached_numeric_limit              # rolled back + latched
+    np.testing.assert_allclose(b.wts, good, rtol=1e-6)
+    del wts_before
 
 
 def test_sparsevi_capacity_hint(gauss_setup):

@@ -356,6 +356,36 @@ class TestLogLikelihoodDiff:
                          z, th, ref)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
+    def test_poisson_diff_at_guard_boundary(self, rng):
+        """Pin the v = -25 softplus-guard boundary (poisson.py fallback
+        region): log_likelihood_diff must match the f64 direct difference
+        when the logits straddle the guard in every combination (va/vb
+        above, below, and AT the floor), including datapoints with y > 0 —
+        the docstring's 'no y>0 mass there' claim is about posteriors, not
+        about what the function must return when evaluated there."""
+        from bayesian_coresets_tpu.models.poisson import _V_FLOOR
+
+        # d=2: [scale, intercept] so each datapoint's logit is exactly
+        # intercept + scale*th0; rows place va/vb around the floor
+        x = np.array([[1.0, 0.0]] * 6, np.float32)
+        y = np.array([0.0, 1.0, 3.0, 0.0, 2.0, 5.0], np.float32)
+        z = jnp.asarray(np.concatenate([x, y[:, None]], axis=1))
+        f = float(_V_FLOOR)
+        # thetas: logits relative to the floor: far below, just below, AT,
+        # just above, far above
+        ths = jnp.asarray(np.array(
+            [[f - 10.0, 0.0], [f - 0.5, 0.0], [f, 0.0],
+             [f + 0.5, 0.0], [f + 10.0, 0.0], [0.5, 0.0]], np.float32))
+        for ref_v in (f - 5.0, f - 0.25, f, f + 0.25, f + 5.0):
+            ref = jnp.asarray(np.array([ref_v, 0.0], np.float32))
+            got = _as_np(poisson.log_likelihood_diff(z, ths, ref))
+            want = self._f64(lambda zz, tt, rr: poisson.log_likelihood(zz, tt)
+                             - poisson.log_likelihood(zz, rr[None, :]),
+                             z, ths, ref)
+            assert np.isfinite(got).all()
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"ref logit {ref_v}")
+
     def test_poisson_beats_naive_f32(self, rng):
         """The stable form must be orders of magnitude more accurate than
         f32 subtraction on the weighted sum that feeds NUTS energies, at

@@ -220,6 +220,19 @@ def test_sparsevi_and_bpsvi_sharded_data_match_single_device(cpu_devices):
     np.testing.assert_array_equal(a.idcs, b.idcs)
     np.testing.assert_allclose(a.wts, b.wts, rtol=1e-5, atol=1e-6)
 
+    # subsampled select/opt (the data-dependent gather GSPMD must partition,
+    # tests/test_sharding_hlo.py): same keys -> same draws -> same results
+    c = bct.SparseVICoreset(x, fam, n_subsample_select=128,
+                            n_subsample_opt=128, opt_itrs=20, seed=0,
+                            capacity=16)
+    c.build(8)
+    cs = bct.SparseVICoreset(xs, fam, n_subsample_select=128,
+                             n_subsample_opt=128, opt_itrs=20, seed=0,
+                             capacity=16)
+    cs.build(8)
+    np.testing.assert_array_equal(c.idcs, cs.idcs)
+    np.testing.assert_allclose(c.wts, cs.wts, rtol=1e-5, atol=1e-6)
+
     basis = gaussian.posterior_basis(jnp.zeros(d), jnp.eye(d), jnp.eye(d))
     loglik = lambda pts, th: gaussian.log_likelihood(pts, th, jnp.eye(d), 0.0)
     gradll = lambda pts, th: gaussian.grad_x_log_likelihood(pts, th, jnp.eye(d))

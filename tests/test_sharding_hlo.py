@@ -104,6 +104,71 @@ def test_omp_sharded_collectives_are_n_independent(cpu_devices):
     assert sig1 == sig2
 
 
+def _svi_hlo(n, n_sub, mesh, d=8, cap_slots=16, itrs=4):
+    import bayesian_coresets_tpu  # noqa: F401 (register families)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bayesian_coresets_tpu.coresets import gaussian_tangent_family
+    from bayesian_coresets_tpu.coresets.sparsevi import svi_build
+    from bayesian_coresets_tpu.models import gaussian
+
+    fam = gaussian_tangent_family(jnp.zeros(d), jnp.eye(d), jnp.eye(d), jnp.eye(d))
+    x = gaussian.gen_synthetic(jax.random.key(1), n, d)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    wts = jnp.zeros(cap_slots)
+    idcs = jnp.full(cap_slots, -1, jnp.int32)
+    sched = lambda i: 1.0 / (1.0 + i)
+    return svi_build.lower(
+        xs, wts, idcs, jnp.int32(0), jax.random.key(0), jnp.int32(itrs),
+        family=fam, n_sub_sel=n_sub, n_sub_opt=n_sub, opt_itrs=10,
+        step_sched=sched).compile().as_text()
+
+
+def _bpsvi_hlo(n, n_sub, mesh, d=8, sz=8):
+    import bayesian_coresets_tpu  # noqa: F401
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bayesian_coresets_tpu.coresets import gaussian_tangent_family
+    from bayesian_coresets_tpu.coresets.bpsvi import bpsvi_build
+    from bayesian_coresets_tpu.models import gaussian
+
+    fam = gaussian_tangent_family(jnp.zeros(d), jnp.eye(d), jnp.eye(d), jnp.eye(d))
+    x = gaussian.gen_synthetic(jax.random.key(1), n, d)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    sched = lambda i: 1.0 / (1.0 + i)
+    return bpsvi_build.lower(
+        xs, jax.random.key(0), family=fam, sz=sz, n_sub_opt=n_sub,
+        opt_itrs=10, step_sched=sched).compile().as_text()
+
+
+@pytest.mark.parametrize("n_sub", [None, 256], ids=["full", "subsampled"])
+@pytest.mark.parametrize("kind", ["svi", "bpsvi"])
+def test_svi_bpsvi_sharded_collectives_are_n_independent(cpu_devices, kind,
+                                                         n_sub):
+    """SparseVI/BPSVI sharded builds (plain jit over row-sharded data): the
+    GSPMD partitioner must resolve the coreset-point and subsample gathers
+    as partial-gather + O(gather_size*d) psum — NOT by all-gathering the
+    (n, d) data (VERDICT r3 missing #3).  Collective bytes must be capped
+    at the subsample/coreset scale and identical when n doubles."""
+    d, n1, n2 = 8, 4096, 8192
+    mesh = make_mesh({"data": 8})
+    fn = _svi_hlo if kind == "svi" else _bpsvi_hlo
+    stats1 = collective_stats(fn(n1, n_sub, mesh))
+    stats2 = collective_stats(fn(n2, n_sub, mesh))
+
+    # cap: the subsample-gather psum ((n_sub, d) f32) dominates; everything
+    # else is O(S) residual reductions / O(M*d) coreset-point gathers
+    cap = 4 * ((n_sub or 0) * d + 512 + 64 * d) * 4
+    for op, nbytes, line in stats1 + stats2:
+        assert nbytes <= cap, (
+            f"{kind} collective at n scale ({nbytes} bytes > cap {cap}): "
+            f"GSPMD is replicating the sharded data\n{line[:200]}")
+        assert nbytes < n1 * d * 4, line[:200]
+
+    sig1 = sorted((op, nbytes) for op, nbytes, _ in stats1)
+    sig2 = sorted((op, nbytes) for op, nbytes, _ in stats2)
+    assert sig1 == sig2, (
+        f"{kind} collective bytes depend on n:\n{sig1}\nvs\n{sig2}")
+
+
 def test_detector_catches_replicated_v(cpu_devices):
     """The known-bad pattern (plain jitted build GSPMD-auto-partitioned over
     sharded inputs: dynamic row gathers along the sharded axis) must trip
