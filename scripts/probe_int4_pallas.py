@@ -40,6 +40,10 @@ def _packed_select_kernel(p_ref, dlo_ref, dhi_ref, nrminv_ref, bias_ref,
                            preferred_element_type=jnp.int32)
            + lax.dot_general(hi, dhi_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32))
+    # NB bandwidth probe only: this dequant constant ignores the sqrt(S)/4
+    # factor of make()'s quantization scale, so scores are intentionally
+    # UNNORMALIZED (uniform across rows — argmax unaffected, timing
+    # unaffected); do not reuse for accuracy comparisons
     dots = acc.astype(jnp.float32) * (1.0 / (7.0 * 127.0))
     nr = nrminv_ref[:].reshape(tile_rows, 1)
     bi = bias_ref[:].reshape(tile_rows, 1)

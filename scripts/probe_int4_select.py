@@ -109,8 +109,11 @@ def main():
             ts = sorted(timed_fetch(f, V)[0] - null_t for _ in range(REPS))
             per_it = ts[len(ts) // 2] / T
             gbs = bytes_per_it / per_it / 1e9
+            # "useful-bytes": algorithmic bytes (packed size) / time — NOT
+            # hardware throughput (XLA materializes unpacked intermediates
+            # for the packed routes, ~3x this traffic); ms/iter is primary
             print(f"{name:12s}: {per_it*1e3:7.3f} ms/iter  "
-                  f"{gbs:7.1f} GB/s effective ({', '.join(f'{x/T*1e3:.3f}' for x in ts)})")
+                  f"{gbs:7.1f} useful-bytes GB/s ({', '.join(f'{x/T*1e3:.3f}' for x in ts)})")
         except Exception as e:
             print(f"{name:12s}: FAILED {type(e).__name__}: {str(e)[:300]}")
         finally:
