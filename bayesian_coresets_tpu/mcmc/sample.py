@@ -102,6 +102,19 @@ def _single_chain(logdensity_fn, init_z, key, segments, num_samples,
     return zs, jnp.mean(accepts), jnp.sum(divs), step_size, inv_mass
 
 
+def _pooled_reasonable_step(vg, states, inv_mass, chol, key, num_chains,
+                            init_step=None):
+    """Median of per-chain reasonable step sizes — the pooled analogue of
+    Stan's single-chain search, robust to any one outlier start."""
+    ks = jax.random.split(key, num_chains)
+    kw = {} if init_step is None else {"init_step": init_step}
+    steps = jax.vmap(
+        lambda k, z, lp, g: find_reasonable_step_size(
+            vg, z, lp, g, inv_mass, k, chol=chol, **kw)
+    )(ks, states.z, states.logp, states.grad)
+    return jnp.median(steps)
+
+
 def _pooled_chains(logdensity_fn, init_params, key, segments, num_samples,
                    max_depth, target_accept, dense_mass=False):
     """Warmup with CROSS-CHAIN pooled adaptation: one shared step size driven
@@ -119,8 +132,11 @@ def _pooled_chains(logdensity_fn, init_params, key, segments, num_samples,
     key, k_find = jax.random.split(key)
     inv_mass = jnp.eye(d, dtype=dtype) if dense_mass else jnp.ones(d, dtype)
     chol = mass_chol(inv_mass)
-    step0 = find_reasonable_step_size(vg, init_params[0], logp0[0], grad0[0],
-                                      inv_mass, k_find, chol=chol)
+    # the shared dual-averaging seed pools ALL chains (median of per-chain
+    # reasonable step sizes): with overdispersed inits, seeding from chain 0
+    # alone lets one unlucky start poison the shared schedule
+    step0 = _pooled_reasonable_step(vg, states, inv_mass, chol, k_find,
+                                    num_chains)
     da = da_init(step0)
     wf = welford_init(d, dtype, dense=dense_mass)
 
@@ -147,9 +163,9 @@ def _pooled_chains(logdensity_fn, init_params, key, segments, num_samples,
             inv_mass = welford_variance(wf)
             chol = mass_chol(inv_mass)
             key, k_find = jax.random.split(key)
-            step_b = find_reasonable_step_size(
-                vg, states.z[0], states.logp[0], states.grad[0], inv_mass,
-                k_find, init_step=jnp.exp(da.log_step), chol=chol)
+            step_b = _pooled_reasonable_step(
+                vg, states, inv_mass, chol, k_find, num_chains,
+                init_step=jnp.exp(da.log_step))
             da = da_init(step_b)
             wf = welford_init(d, dtype, dense=dense_mass)
 
