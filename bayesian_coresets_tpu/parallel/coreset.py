@@ -166,7 +166,15 @@ def build_sharded(A, b, itrs: int, mesh: Mesh, method: str = "giga",
     ndata = mesh.shape[DATA_AXIS]
     nproj = mesh.shape.get(PROJ_AXIS, 1) if shard_proj else 1
     row_mult = math.lcm(ndata, 1024) if select_dtype is not None else ndata
-    col_mult = math.lcm(nproj, 128) if select_dtype is not None else nproj
+    # S is padded ONLY under proj sharding: a padded S changes the f32
+    # reduction grouping of the reweight dots (ulp drift vs the
+    # single-device build, enough to flip near-tie selections); Vsel's own
+    # lane padding is internal to make_consts and column-local, so
+    # data-only meshes keep V/b at the caller's S and stay bit-exact
+    if nproj > 1:
+        col_mult = math.lcm(nproj, 128) if select_dtype is not None else nproj
+    else:
+        col_mult = 1
     n_pad = _pad_multiple(n, row_mult)
     S_pad = _pad_multiple(S, col_mult)
     if valid is None:

@@ -125,16 +125,33 @@ def main():
             ca = ca[0]
         return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
+    def _per_device_nuts_cost(s):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from bayesian_coresets_tpu.mcmc import run_nuts
+        meshc = make_mesh({"chains": s}, devices=jax.devices()[:s])
+        chains = args.chains_per_device * s
+        init = jax.device_put(jnp.zeros((chains, D)),
+                              NamedSharding(meshc, P("chains", None)))
+        fnc = jax.jit(lambda ip, k: run_nuts(logd, ip, k, num_warmup=50,
+                                             num_samples=args.samples))
+        ca = fnc.lower(init, jax.random.key(2)).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
     import numpy as np
-    f1, by1 = _per_device_cost(1)
     compiled_work = {}
-    for s in sizes:
-        fs, bys = _per_device_cost(s) if s > 1 else (f1, by1)
-        compiled_work[str(s)] = {
-            "flops_per_device": fs,
-            "bytes_per_device": bys,
-            "work_ratio_vs_1dev": round(max(fs / f1, bys / by1), 4),
-        }
+    for kind, costf in (("build", _per_device_cost),
+                        ("nuts", _per_device_nuts_cost)):
+        f1, by1 = costf(1)
+        compiled_work[kind] = {}
+        for s in sizes:
+            fs, bys = costf(s) if s > 1 else (f1, by1)
+            compiled_work[kind][str(s)] = {
+                "flops_per_device": fs,
+                "bytes_per_device": bys,
+                "work_ratio_vs_1dev": round(max(fs / f1, bys / by1), 4),
+            }
 
     # weak-scaling efficiencies: build time should stay FLAT (points/s
     # constant), nuts throughput should grow linearly with devices
@@ -230,10 +247,13 @@ def main():
         "measured": measured,
         "compiled_work": {
             "what": "per-device FLOPs / bytes-accessed of the COMPILED "
-                    "sharded build (weak scaling: rows/device constant), "
-                    "from XLA cost_analysis — host-scheduling-independent; "
-                    "ideal work_ratio_vs_1dev = 1.0 (r3's one-hot "
-                    "formulation measured ~1.5x)",
+                    "sharded programs (weak scaling: rows/device resp. "
+                    "chains/device constant), from XLA cost_analysis — "
+                    "host-scheduling-independent; ideal work_ratio_vs_1dev "
+                    "= 1.0 (r3's one-hot build formulation measured ~1.5x; "
+                    "NUTS while-loop bodies are counted once, which is the "
+                    "right per-device-work comparison for identical "
+                    "trip-count programs)",
             "per_size": compiled_work,
         },
         "cost_model": {

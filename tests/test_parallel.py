@@ -184,6 +184,23 @@ def test_sharded_sampling_solver_valid_distribution(rng, cpu_devices):
     np.testing.assert_allclose(np.asarray(st.w), w_expect, rtol=1e-5, atol=1e-7)
 
 
+def test_sharded_int8_select_bit_matches_single_device(rng, cpu_devices):
+    """select_dtype=int8 under data sharding: row padding lands on shard
+    boundaries (lcm of the mesh and the 1024-row tile), S stays at the
+    caller's value (padding S would change f32 reduction groupings and
+    flip near-tie selections) — results bit-match the single-device
+    int8-select build."""
+    Sdim, n = 32, 3000                 # pads to 3072 rows
+    A = rng.normal(size=(Sdim, n)).astype(np.float32)
+    b = A.sum(axis=1)
+    mesh = make_mesh({"data": 8})
+    st = build_sharded(A, b, 40, mesh, select_dtype=jnp.int8)
+    alg = S.GIGA(A, b, select_dtype=jnp.int8)
+    alg.build(40)
+    assert st.w.shape == (n,)
+    np.testing.assert_array_equal(np.asarray(st.w), alg.weights())
+
+
 def test_sharded_build_pads_uneven_n(rng, cpu_devices):
     """n not divisible by the mesh: zero-padded with valid=False, trimmed
     back — results must match the single-device build on the original n."""
