@@ -68,11 +68,6 @@ class HilbertCoreset(Coreset):
                  mesh=None):
         super().__init__()
         data = np.asarray(data)
-        if mesh is not None and stream_chunk_size is None:
-            raise ValueError("mesh requires stream_chunk_size (the sharded "
-                             "path streams chunks into per-device int8 "
-                             "shards); for small in-HBM problems use "
-                             "parallel.build_sharded directly")
         if stream_chunk_size is not None:
             self._init_streamed(data, ll_projector, int(stream_chunk_size),
                                 snnls, seed, max_active, n_subsample,
@@ -97,9 +92,22 @@ class HilbertCoreset(Coreset):
             raise ValueError("all projected vectors are zero or masked")
 
         b = vecs[valid].sum(axis=0)
-        self.snnls = snnls(jnp.asarray(vecs.T), jnp.asarray(b),
-                           valid=jnp.asarray(valid), seed=seed,
-                           max_active=max_active, select_dtype=select_dtype)
+        if mesh is not None:
+            # in-memory data-parallel path: pad + shard the projected system
+            # over the mesh's data axis; the facade then runs every
+            # operation through the shard_map SPMD wrappers
+            from ..parallel.coreset import make_sharded_consts
+            sampling = snnls.method if snnls.method in ("importance", "uniform") else None
+            consts, _, _ = make_sharded_consts(
+                jnp.asarray(vecs.T), jnp.asarray(b), mesh,
+                valid=jnp.asarray(valid), sampling=sampling,
+                select_dtype=select_dtype)
+            self.snnls = snnls.from_consts(consts, seed=seed,
+                                           max_active=max_active, mesh=mesh)
+        else:
+            self.snnls = snnls(jnp.asarray(vecs.T), jnp.asarray(b),
+                               valid=jnp.asarray(valid), seed=seed,
+                               max_active=max_active, select_dtype=select_dtype)
         self.sub_idcs = sub_idcs
         self.data = data
 

@@ -84,6 +84,10 @@ def run(arguments):
     seed = arguments.trial
 
     stream = getattr(arguments, "stream_chunk_size", None) or None
+    mesh = None
+    if getattr(arguments, "data_mesh", 0):
+        from ..parallel import make_mesh
+        mesh = make_mesh({"data": int(arguments.data_mesh)})
 
     def make_alg(name):
         cap = int(arguments.coreset_size_max)   # compile once for the sweep
@@ -99,7 +103,7 @@ def run(arguments):
         if name == "GIGA-OPT":
             return bc.HilbertCoreset(
                 x, bc.BlackBoxProjector(sampler_optimal, S, loglik, gradll), seed=seed,
-                select_dtype=sd, stream_chunk_size=stream)
+                select_dtype=sd, stream_chunk_size=stream, mesh=mesh)
         if name == "GIGA-OPT-EXACT":
             prj = bc.FamilyProjector(exact_family)
             prj.update(jnp.ones(N), x)
@@ -196,6 +200,11 @@ def main(argv=None):
     parser.add_argument("--stream_chunk_size", type=int, default=0,
                         help="(GIGA-OPT) chunked projection with int8-resident "
                              "storage: beyond-HBM datasets on one chip")
+    parser.add_argument("--data_mesh", type=int, default=0,
+                        help="(GIGA-OPT) shard dataset rows over this many "
+                             "devices (shard_map SPMD build; composes with "
+                             "--stream_chunk_size for sharded-streamed "
+                             "beyond-HBM construction)")
     arguments = parser.parse_args(argv)
     if not hasattr(arguments, "func"):
         parser.error("specify a subcommand: run | plot")

@@ -100,7 +100,9 @@ def _sampling_ps(norms, valid, sampling, dtype):
     if sampling == "uniform":
         nv = jnp.maximum(jnp.sum(valid), 1)
         return jnp.where(valid, 1.0 / nv, 0.0)
-    return jnp.zeros(norms.shape[0], dtype=dtype)
+    # non-sampling solvers carry NO probability vector (size 0): a static
+    # marker init_state uses to elide the dead (n,) counts carry
+    return jnp.zeros(0, dtype=dtype)
 
 
 @partial(jax.jit, static_argnames=("sampling", "select_dtype"))
@@ -404,10 +406,14 @@ def init_state(consts: SNNLSConsts, key: jax.Array | None = None,
     dt = consts.b.dtype if _is_quantized(consts) else consts.V.dtype
     if key is None:
         key = jax.random.key(0)
+    # selection counts exist only for the sampling solvers (ps present):
+    # a dead (n,) carry would cost an extra read+write pass of the loop
+    # state every iteration and 4n bytes of the beyond-HBM budget
+    n_cts = n if consts.ps.shape[0] else 0
     return SNNLSState(
         w=jnp.zeros(n, dt),
         xw=jnp.zeros(S, dt),
-        cts=jnp.zeros(n, dt),
+        cts=jnp.zeros(n_cts, dt),
         idcs=jnp.full((max_active,), -1, jnp.int32),
         size=jnp.int32(0),
         itr=jnp.int32(0),
@@ -738,6 +744,11 @@ def _sampling_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
                          _data_ax(axes))
     else:
         f = jax.random.categorical(sub, logp)
+    if state.cts.shape[0] == 0:
+        # degenerate problem (no positive sampling mass — init_state elides
+        # the counts buffer): every weight stays zero, nothing to track
+        return (state.w, state.xw, state.cts, state.idcs, state.size, key,
+                jnp.array(True), jnp.array(False), aux)
     cts = _set1(state.cts, f, _get1(state.cts, f, axes=axes) + 1.0, axes=axes)
     T_old = _psum_n(jnp.sum(state.cts), axes)
     T_new = T_old + 1.0

@@ -147,19 +147,16 @@ def _pad_multiple(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def build_sharded(A, b, itrs: int, mesh: Mesh, method: str = "giga",
-                  valid=None, key=None, shard_proj: bool = False,
-                  max_active: int = 0, select_dtype=None) -> snnls.SNNLSState:
-    """Run a mesh-sharded snnls build; returns the final (sharded) state.
+def make_sharded_consts(A, b, mesh: Mesh, valid=None, sampling=None,
+                        select_dtype=None, shard_proj: bool = False):
+    """Pad + build + shard solver constants for a mesh-sharded problem.
 
     Inputs are zero-padded (with ``valid=False`` on padded columns) so the
     data axis divides the mesh's data dimension — and, when a
     reduced-precision selection copy is requested, so the tile padding
     ``make_consts`` applies lands on shard boundaries (local Vsel rows must
-    align with local V rows).  The returned state is trimmed back to the
-    caller's n.
+    align with local V rows).  Returns (consts, n_orig, S_orig).
     """
-    sampling = method if method in ("importance", "uniform") else None
     A = jnp.asarray(A)
     b = jnp.asarray(b)
     S, n = A.shape
@@ -187,14 +184,26 @@ def build_sharded(A, b, itrs: int, mesh: Mesh, method: str = "giga",
         valid = jnp.pad(valid, (0, n_pad - n))
     consts = snnls.make_consts(A, b, valid=valid, sampling=sampling,
                                select_dtype=select_dtype)
-    consts = shard_consts(consts, mesh, shard_proj)
+    return shard_consts(consts, mesh, shard_proj), n, S
+
+
+def build_sharded(A, b, itrs: int, mesh: Mesh, method: str = "giga",
+                  valid=None, key=None, shard_proj: bool = False,
+                  max_active: int = 0, select_dtype=None) -> snnls.SNNLSState:
+    """Run a mesh-sharded snnls build; returns the final (sharded) state,
+    trimmed back to the caller's n (see make_sharded_consts for padding)."""
+    sampling = method if method in ("importance", "uniform") else None
+    consts, n, S = make_sharded_consts(A, b, mesh, valid=valid,
+                                       sampling=sampling,
+                                       select_dtype=select_dtype,
+                                       shard_proj=shard_proj)
     state = snnls.init_state(consts, key, max_active=max_active)
     state = shard_state(state, mesh, shard_proj)
     fn = _build_fn(mesh, method, shard_proj, matvec_k=max_active or 1024)
     state = fn(consts, state, jnp.int32(itrs), jnp.float32(config.TOL))
-    if n_pad != n:
+    if consts.V.shape[0] != n:
         state = state._replace(w=state.w[:n], cts=state.cts[:n])
-    if S_pad != S:
+    if state.xw.shape[0] != S:
         state = state._replace(xw=state.xw[:S])
     return state
 

@@ -302,6 +302,28 @@ class TestStreamedHilbert:
         hs.optimize()
         assert hs.error() <= e0 * (1.0 + 1e-5)
 
+    def test_inmemory_mesh_matches_single_device(self, gauss_setup):
+        """HilbertCoreset(mesh=...) without streaming: the projected system
+        is padded + row-sharded and every facade operation runs through the
+        shard_map SPMD path — f32 results bit-match the unsharded build."""
+        from bayesian_coresets_tpu.parallel import make_mesh
+
+        g = gauss_setup
+        prj = bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"])
+        mesh = make_mesh({"data": 8})
+        hm = bct.HilbertCoreset(g["x"], prj, seed=0, mesh=mesh)
+        h1 = bct.HilbertCoreset(g["x"], prj, seed=0)
+        # identical projections require identical sampler draws: both
+        # projectors are keyed identically (seed-deterministic), so the
+        # solver inputs match and results must be bitwise equal
+        hm.build(60)
+        h1.build(60)
+        np.testing.assert_array_equal(hm.idcs, h1.idcs)
+        np.testing.assert_array_equal(np.asarray(hm.wts), np.asarray(h1.wts))
+        e0 = hm.error()
+        hm.optimize()
+        assert hm.error() <= e0 * (1.0 + 1e-5)
+
     def test_streamed_rejects_subsample(self, gauss_setup):
         g = gauss_setup
         prj = bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"])
