@@ -209,14 +209,18 @@ def run(arguments):
                 capacity=int(arguments.coreset_size_max))
         sd = {"f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8}[arguments.select_dtype]
         stream = getattr(arguments, "stream_chunk_size", 0) or None
+        mesh = None
+        if getattr(arguments, "data_mesh", 0):
+            from ..parallel import make_mesh
+            mesh = make_mesh({"data": int(arguments.data_mesh)})
         if name == "GIGA-OPT":
             return bc.HilbertCoreset(
                 Z, bc.BlackBoxProjector(sampler_opt, S, model.log_likelihood), seed=seed,
-                select_dtype=sd, stream_chunk_size=stream)
+                select_dtype=sd, stream_chunk_size=stream, mesh=mesh)
         if name == "GIGA-REAL":
             return bc.HilbertCoreset(
                 Z, bc.BlackBoxProjector(sampler_real, S, model.log_likelihood), seed=seed,
-                select_dtype=sd, stream_chunk_size=stream)
+                select_dtype=sd, stream_chunk_size=stream, mesh=mesh)
         if name == "US":
             return bc.UniformSamplingCoreset(Z, seed=seed)
         if name == "BPSVI":
@@ -384,6 +388,10 @@ def main(argv=None):
                         help="retry still-unconverged coreset chains on host "
                              "CPU (last resort; the on-device dense-metric "
                              "retry should make this unnecessary)")
+    parser.add_argument("--data_mesh", type=int, default=0,
+                        help="(GIGA-*) shard dataset rows over this many "
+                             "devices (shard_map SPMD build; composes with "
+                             "--stream_chunk_size)")
     parser.add_argument("--chain_mesh", action="store_true",
                         help="shard NUTS chains over all visible devices via "
                              "the chain mesh (parallel/mcmc.py); chains round "

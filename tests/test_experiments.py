@@ -233,6 +233,17 @@ class TestLogisticPoissonDriver:
         for col in ("rhats", "esses", "full_rhat", "full_ess", "rklw"):
             assert col in df.columns and np.isfinite(df[col]).all()
 
+    def test_data_mesh_driver(self, workdir, monkeypatch):
+        # --data_mesh shards the dataset rows over the build mesh: the
+        # GIGA build runs through the shard_map SPMD path (parallel/coreset)
+        # while MCMC/metrics are unchanged; results must stay finite
+        from bayesian_coresets_tpu.experiments import logistic_poisson as LP
+        self._tiny_lr(monkeypatch, n=128)
+        LP.main(self._argv(data_mesh=4, coreset_num_sizes=1))
+        df = results.load_matching({"alg": "GIGA-OPT", "results_folder": "results/"})
+        for col in ("rhats", "esses", "rklw"):
+            assert col in df.columns and np.isfinite(df[col]).all()
+
     def test_svi_warm_start_driver(self, workdir, monkeypatch):
         # SVI routes through the warm-started Laplace refit (TangentFamily
         # make_ctx_warm); the coreset posterior must still track the full one
