@@ -120,8 +120,15 @@ def run(arguments):
     sched = step_sched(arguments.step_sched)
     seed = arguments.trial
 
+    stream = getattr(arguments, "stream_chunk_size", None) or None
+    mesh = None
+    if getattr(arguments, "data_mesh", 0):
+        from ..parallel import make_mesh
+        mesh = make_mesh({"data": int(arguments.data_mesh)})
+
     def make_alg(name):
         cap = int(arguments.coreset_size_max)   # compile once for the sweep
+        sd = {"f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8}[arguments.select_dtype]
         if name == "SVI":
             return bc.SparseVICoreset(
                 Zj, bc.BlackBoxProjector(sampler_bb, S, loglik, gradll),
@@ -132,14 +139,16 @@ def run(arguments):
                                       step_sched=sched, seed=seed, capacity=cap)
         if name == "GIGA-OPT":
             return bc.HilbertCoreset(Zj, bc.BlackBoxProjector(sampler_optimal, S, loglik),
-                                     seed=seed)
+                                     seed=seed, select_dtype=sd,
+                                     stream_chunk_size=stream, mesh=mesh)
         if name == "GIGA-OPT-EXACT":
             prj = bc.FamilyProjector(exact_family)
             prj.update(jnp.ones(N), Zj)
             return bc.HilbertCoreset(Zj, prj, seed=seed)
         if name == "GIGA-REAL":
             return bc.HilbertCoreset(Zj, bc.BlackBoxProjector(sampler_realistic, S, loglik),
-                                     seed=seed)
+                                     seed=seed, select_dtype=sd,
+                                     stream_chunk_size=stream, mesh=mesh)
         if name == "GIGA-REAL-EXACT":
             prj = bc.FamilyProjector(exact_family)
             prj.update(jnp.ones(Zhat.shape[0]), Zhat)
@@ -206,6 +215,15 @@ def main(argv=None):
     parser.add_argument("--coreset_size_spacing", choices=["log", "linear"], default="log")
     parser.add_argument("--opt_itrs", type=int, default=100)
     parser.add_argument("--step_sched", type=str, default="inv")
+    parser.add_argument("--select_dtype", choices=["f32", "bf16", "int8"], default="f32",
+                        help="reduced-precision selection copy for Hilbert solvers")
+    parser.add_argument("--stream_chunk_size", type=int, default=0,
+                        help="(GIGA-*) chunked projection with int8-resident "
+                             "storage: beyond-HBM datasets on one chip")
+    parser.add_argument("--data_mesh", type=int, default=0,
+                        help="(GIGA-*) shard dataset rows over this many "
+                             "devices (shard_map SPMD build; composes with "
+                             "--stream_chunk_size)")
     arguments = parser.parse_args(argv)
     if not hasattr(arguments, "func"):
         parser.error("specify a subcommand: run | plot")

@@ -92,6 +92,32 @@ class TestDrivers:
                 "--coreset_size_max", "20", "--coreset_num_sizes", "3"])
         assert len(pd.read_csv("results/manifest.csv")) == 1
 
+    def test_linear_regression_driver(self, workdir):
+        # reference examples/linear_regression/main.py analogue (synthetic
+        # housing stand-in): rKL must improve with M and memoize
+        from bayesian_coresets_tpu.experiments import linear_regression as LR
+        argv = ["run", "--alg", "GIGA-OPT", "--trial", "1", "--data_num", "200",
+                "--n_bases_per_scale", "5", "--proj_dim", "30",
+                "--coreset_size_max", "30", "--coreset_num_sizes", "3"]
+        LR.main(argv)
+        df = results.load_matching({"alg": "GIGA-OPT", "results_folder": "results/"})
+        rkl = df["rklw"].to_numpy()
+        assert np.isfinite(rkl).all() and rkl[-1] < rkl[0]
+        LR.main(argv)   # memoized rerun: no duplicate rows
+        assert len(pd.read_csv("results/manifest.csv")) == 1
+
+    def test_linear_regression_driver_sharded_int8(self, workdir):
+        # --data_mesh / --select_dtype route the linreg GIGA build through
+        # the shard_map SPMD path with the int8 selection copy
+        from bayesian_coresets_tpu.experiments import linear_regression as LR
+        LR.main(["run", "--alg", "GIGA-OPT", "--trial", "2", "--data_num", "256",
+                 "--n_bases_per_scale", "5", "--proj_dim", "30",
+                 "--coreset_size_max", "30", "--coreset_num_sizes", "3",
+                 "--data_mesh", "4", "--select_dtype", "int8"])
+        df = results.load_matching({"alg": "GIGA-OPT", "results_folder": "results/"})
+        rkl = df["rklw"].to_numpy()
+        assert np.isfinite(rkl).all() and rkl[-1] < rkl[0]
+
     def test_synthetic_vectors_driver_axis(self, workdir):
         from bayesian_coresets_tpu.experiments import synthetic_vectors as SV
         SV.main(["run", "--alg", "GIGA", "--trial", "1", "--data_num", "32",
