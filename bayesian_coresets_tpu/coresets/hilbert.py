@@ -185,17 +185,20 @@ class HilbertCoreset(Coreset):
                                snnls_cls, seed: int, max_active, mesh):
         """Streamed construction directly into a row-sharded int8 buffer.
 
-        Each mesh shard's rows are projected chunk by chunk, quantized
-        on-chip, and the int8 chunk (4x smaller than the f32 projection)
-        is placed into that shard's local buffer; the global array is
-        assembled from the per-device pieces with
-        ``jax.make_array_from_single_device_arrays`` — no single device or
-        host ever holds more than its 1/|mesh| int8 shard plus one f32
-        chunk.  The solver then runs the shard_map SPMD build
-        (parallel/coreset.py).  Multi-host deployments run this same loop
-        per controller over ``distributed.local_data_shard`` row ranges.
-        Reference analogue: the N-scaling intent of hilbert.py:16
-        subsampling, replaced by actually scaling N.
+        SPMD projection: every device projects, quantizes, and stores ITS
+        OWN rows inside one ``jax.shard_map`` step — the projection phase
+        parallelizes over the mesh (it is the dominant construction cost
+        at beyond-HBM N), host->device traffic is the raw data rows only
+        (not the 4x-larger f32 projection), and no single device or host
+        ever holds more than its 1/|mesh| int8 shard plus one f32 chunk.
+        The solver then runs the shard_map SPMD build (parallel/coreset.py).
+        Projectors whose ``project`` is not jax-traceable (numpy/scipy
+        internals) fall back to default-device projection with int8
+        shipping (``_init_streamed_sharded_hostproj``).  Multi-host
+        deployments run this same loop per controller over
+        ``distributed.local_data_shard`` row ranges.  Reference analogue:
+        the N-scaling intent of hilbert.py:16 subsampling, replaced by
+        actually scaling N.
         """
         import math
 
@@ -208,7 +211,6 @@ class HilbertCoreset(Coreset):
                              f"'{DATA_AXIS}' mesh (int8-resident builds are "
                              "data-parallel only)")
         ndata = mesh.shape[DATA_AXIS]
-        devs = list(mesh.devices.reshape(-1))
         n = data.shape[0]
         rows_glob = _round_up(n, math.lcm(1024, ndata))
         rows_loc = rows_glob // ndata
@@ -225,8 +227,108 @@ class HilbertCoreset(Coreset):
         S = p1.shape[1]
         Sp = _round_up(S, 128)
 
+        extra = (None,) * (data.ndim - 1)
+        buf_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+        row_sh = NamedSharding(mesh, P(DATA_AXIS, *extra))
+        live_sh = NamedSharding(mesh, P(DATA_AXIS))
+        buf = jax.jit(lambda: jnp.zeros((rows_glob, Sp), jnp.int8),
+                      out_shardings=buf_sh)()
+
+        def _make_step(csize: int):
+            def core(buf_loc, xc_loc, live_loc, lo):
+                vecs = ll_projector.project(xc_loc)       # on-shard
+                q, nrm, bsum = _quantize_chunk(vecs, live_loc[0])
+                if q.shape[1] != Sp:
+                    q = jnp.pad(q, ((0, 0), (0, Sp - q.shape[1])))
+                buf_loc = jax.lax.dynamic_update_slice(buf_loc, q, (lo, 0))
+                return buf_loc, nrm, jax.lax.psum(bsum, DATA_AXIS)
+
+            return jax.jit(jax.shard_map(
+                core, mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, *extra),
+                          P(DATA_AXIS), P()),
+                out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P())),
+                donate_argnums=0)
+
+        def _assemble(lo: int, csize: int):
+            xc = np.zeros((ndata * csize,) + data.shape[1:], data.dtype)
+            live = np.zeros(ndata, np.int32)
+            for k in range(ndata):
+                shard_lo = k * rows_loc
+                shard_n = max(0, min(n - shard_lo, rows_loc))
+                cnt = max(0, min(shard_n - lo, csize))
+                if cnt:
+                    xc[k * csize: k * csize + cnt] = \
+                        data[shard_lo + lo: shard_lo + lo + cnt]
+                live[k] = cnt
+            return (jax.device_put(jnp.asarray(xc), row_sh),
+                    jax.device_put(jnp.asarray(live), live_sh))
+
+        norms_host = np.zeros(rows_glob, np.float32)
         b_total = np.zeros(S, np.float64)
-        norm_parts = []
+
+        def _run(step_fn, buf, lo, csize):
+            xg, lg = _assemble(lo, csize)
+            buf, nrm, bsum = step_fn(buf, xg, lg, jnp.int32(lo))
+            seg = np.asarray(nrm).reshape(ndata, csize)
+            for k in range(ndata):
+                norms_host[k * rows_loc + lo: k * rows_loc + lo + csize] = seg[k]
+            b_total[:] += np.asarray(bsum, np.float64)
+            return buf
+
+        # full steps of one static shape, then one (differently-shaped,
+        # compiled-once) tail step — every write is a whole block, so no
+        # row is quantized or accumulated into b twice
+        chunk2 = min(chunk, rows_loc)
+        full_steps = list(range(0, rows_loc - chunk2 + 1, chunk2))
+        tail_lo = full_steps[-1] + chunk2
+        tail = rows_loc - tail_lo
+        step = _make_step(chunk2)
+
+        try:
+            buf = _run(step, buf, full_steps[0], chunk2)
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.TracerBoolConversionError,
+                jax.errors.ConcretizationTypeError):
+            # projector computes outside jax (numpy/scipy internals):
+            # project on the default device, ship int8 shards
+            self._init_streamed_sharded_hostproj(
+                data, ll_projector, chunk, snnls_cls, seed, max_active,
+                mesh, S, Sp)
+            return
+        for lo in full_steps[1:]:
+            buf = _run(step, buf, lo, chunk2)
+        if tail > 0:
+            buf = _run(_make_step(tail), buf, tail_lo, tail)
+
+        self.streamed_sharded_mode = "spmd"
+        self._finish_streamed_sharded(buf, norms_host, b_total, data,
+                                      snnls_cls, seed, max_active, mesh, S)
+
+    def _init_streamed_sharded_hostproj(self, data, ll_projector, chunk: int,
+                                        snnls_cls, seed: int, max_active,
+                                        mesh, S: int, Sp: int):
+        """Fallback sharded stream for non-jax-traceable projectors.
+
+        Chunks are projected on the default device; only the quantized
+        int8 chunk (4x smaller than the f32 projection) ships to its owner
+        device, and the global array is assembled from the per-device
+        pieces with ``jax.make_array_from_single_device_arrays``.
+        """
+        import math
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        ndata = mesh.shape[DATA_AXIS]
+        devs = list(mesh.devices.reshape(-1))
+        n = data.shape[0]
+        rows_glob = _round_up(n, math.lcm(1024, ndata))
+        rows_loc = rows_glob // ndata
+
+        b_total = np.zeros(S, np.float64)
+        norms_host = np.zeros(rows_glob, np.float32)
         local_bufs = []
         for k in range(ndata):
             buf_k = jax.device_put(jnp.zeros((rows_loc, Sp), jnp.int8), devs[k])
@@ -236,7 +338,7 @@ class HilbertCoreset(Coreset):
                 live = min(chunk, shard_n - lo)
                 xc = np.zeros((chunk,) + data.shape[1:], data.dtype)
                 xc[:live] = data[shard_lo + lo: shard_lo + lo + live]
-                vecs = ll_projector.project(jnp.asarray(xc))
+                vecs = jnp.asarray(np.asarray(ll_projector.project(jnp.asarray(xc))))
                 q, nrm, bsum = _quantize_chunk(vecs, jnp.int32(live))
                 if q.shape[1] != Sp:
                     q = jnp.pad(q, ((0, 0), (0, Sp - q.shape[1])))
@@ -244,19 +346,27 @@ class HilbertCoreset(Coreset):
                 buf_k = _write_rows(buf_k, jax.device_put(q, devs[k]),
                                     jnp.int32(lo))
                 b_total += np.asarray(bsum, np.float64)
-                norm_parts.append(np.asarray(nrm)[:live])
+                norms_host[shard_lo + lo: shard_lo + lo + live] = \
+                    np.asarray(nrm)[:live]
             local_bufs.append(buf_k)
 
-        norms = np.concatenate(norm_parts) if norm_parts else np.zeros(0, np.float32)
-        pad = rows_glob - n
-        valid = np.pad(norms > 0.0, (0, pad))
-        if not valid.any():
-            raise ValueError("all projected vectors are zero or masked")
         Vq = jax.make_array_from_single_device_arrays(
             (rows_glob, Sp), NamedSharding(mesh, P(DATA_AXIS, None)), local_bufs)
+        self.streamed_sharded_mode = "hostproj"
+        self._finish_streamed_sharded(Vq, norms_host, b_total, data,
+                                      snnls_cls, seed, max_active, mesh, S)
+
+    def _finish_streamed_sharded(self, Vq, norms_host, b_total, data,
+                                 snnls_cls, seed, max_active, mesh, S: int):
+        n = data.shape[0]
+        rows_glob, Sp = Vq.shape
+        real = np.arange(rows_glob) < n
+        valid = real & (norms_host > 0.0)
+        if not valid.any():
+            raise ValueError("all projected vectors are zero or masked")
         sampling = snnls_cls.method if snnls_cls.method in ("importance", "uniform") else None
         consts = make_consts_quantized(
-            Vq, jnp.asarray(np.pad(norms, (0, pad), constant_values=1.0).astype(np.float32)),
+            Vq, jnp.asarray(np.where(real, norms_host, 1.0).astype(np.float32)),
             jnp.asarray(np.pad(b_total.astype(np.float32), (0, Sp - S))),
             valid=jnp.asarray(valid), sampling=sampling)
         self.snnls = snnls_cls.from_consts(consts, seed=seed,

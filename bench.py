@@ -8,7 +8,8 @@ samples, GIGA Hilbert coreset built to M=500.  The timed region is the
 fully-fused jitted pipeline: log-likelihood projection (one (N,S) matmul
 chain) + snnls constant precompute + 500 greedy GIGA iterations.  The
 weighted-NUTS line then samples the coreset posterior this build produced
-(128 vmapped chains) — the reference's coreset-MCMC stage
+(1024 vmapped chains — the measured throughput knee; the chip is
+latency-bound below ~1k of these tiny chains) — the reference's coreset-MCMC stage
 (examples/common/mcmc.py:58-68, examples/logistic_poisson_regression/
 main.py:205-214).
 
@@ -50,7 +51,7 @@ N, D, S, M = 100_000, 10, 500, 500
 REFERENCE_CPU_POINTS_PER_S = 6.24  # end-to-end (projection + build), see above
 CPU_1CHAIN_NUTS_SAMPLES_PER_S = 49.0  # PARITY_RESULTS.md (pystan unavailable)
 CALIBRATED_SELECT_GBPS = 753.1     # runs/select_bandwidth.json calib_reduce
-NUTS_CHAINS, NUTS_DRAWS = 128, 150
+NUTS_CHAINS, NUTS_DRAWS = 1024, 150   # 1024 = the measured throughput knee (scripts/probe_nuts_chains.py: 128ch 1.6k, 1024ch 11.4k, 4096ch 14.4k samples/s)
 
 
 def _timed(f):

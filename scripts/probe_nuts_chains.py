@@ -64,7 +64,7 @@ def main():
     null_t = nulls[len(nulls) // 2]
     print(f"null {1e3*null_t:.1f} ms", flush=True)
 
-    for chains in (128, 256, 512, 1024):
+    for chains in (1024, 2048, 4096):
         def run_nuts(key, c=chains):
             return weighted.run(logistic, zc, wc, DRAWS, key,
                                 num_chains=c, target_accept=0.8,

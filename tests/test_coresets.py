@@ -269,14 +269,20 @@ class TestStreamedHilbert:
         consts = hs.snnls.consts
         assert consts.V.sharding.spec == P("data", None)
 
-        # same quantization as direct on-host projection (rows are
-        # chunk-local, so they must be bitwise equal)
+        # same quantization as direct on-host projection.  Quantization is
+        # row-local, but the projection itself is compiled INTO the
+        # per-shard program (SPMD on-device projection), so XLA fusion may
+        # shift last-ulp values across the int8 round boundary: allow a
+        # +-1 step difference at a vanishing fraction of entries
         vecs = np.asarray(prj.project(g["x"]))
         norms = np.sqrt((vecs**2).sum(axis=1))
         safe = np.where(norms > 0, norms, 1.0)
         Vq = np.clip(np.round(vecs / safe[:, None] * 127.0), -127, 127).astype(np.int8)
         N = g["N"]
-        np.testing.assert_array_equal(np.asarray(consts.V)[:N, :g["S"]], Vq)
+        got = np.asarray(consts.V)[:N, :g["S"]]
+        diff = np.abs(got.astype(np.int32) - Vq.astype(np.int32))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 1e-3
         np.testing.assert_allclose(np.asarray(consts.norms)[:N], norms, rtol=1e-5)
         assert not np.asarray(consts.valid)[N:].any()
 
@@ -323,6 +329,53 @@ class TestStreamedHilbert:
         e0 = hm.error()
         hm.optimize()
         assert hm.error() <= e0 * (1.0 + 1e-5)
+
+    def test_streamed_sharded_spmd_vs_hostproj_fallback(self, gauss_setup):
+        """jax-traceable projectors project ON their owner shard inside
+        shard_map (mode 'spmd'); a projector with numpy internals falls
+        back to default-device projection + int8 shipping ('hostproj')
+        with equivalent results."""
+        from bayesian_coresets_tpu.parallel import make_mesh
+
+        g = gauss_setup
+        mesh = make_mesh({"data": 8})
+        prj = bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"])
+        hs = bct.HilbertCoreset(g["x"], prj, stream_chunk_size=64, mesh=mesh)
+        assert hs.streamed_sharded_mode == "spmd"
+
+        class NumpyProjector:
+            """Fixed-context projector that computes in numpy."""
+
+            def __init__(self, inner):
+                self.inner = inner
+
+            def project(self, pts):
+                out = self.inner.project(jnp.asarray(np.asarray(pts)))
+                return jnp.asarray(np.asarray(out))     # forces a host trip
+
+            def update(self, wts, pts):
+                pass
+
+        hp = bct.HilbertCoreset(g["x"], NumpyProjector(prj),
+                                stream_chunk_size=64, mesh=mesh)
+        assert hp.streamed_sharded_mode == "hostproj"
+        # hostproj projects with the same eager program as the direct
+        # host quantization -> its int8 rows are bitwise equal to it
+        vecs = np.asarray(prj.project(g["x"]))
+        norms = np.sqrt((vecs**2).sum(axis=1))
+        safe = np.where(norms > 0, norms, 1.0)
+        Vq = np.clip(np.round(vecs / safe[:, None] * 127.0),
+                     -127, 127).astype(np.int8)
+        N = g["N"]
+        np.testing.assert_array_equal(
+            np.asarray(hp.snnls.consts.V)[:N, :g["S"]], Vq)
+        # both paths build equivalent-quality coresets from the same
+        # tangent context (spmd may differ by one int8 ulp at a handful
+        # of round-boundary entries, so demand quality, not bit equality)
+        hs.build(40)
+        hp.build(40)
+        assert g["rkl"](*hs.get()[:2]) < 1.0
+        assert g["rkl"](*hp.get()[:2]) < 1.0
 
     def test_streamed_rejects_subsample(self, gauss_setup):
         g = gauss_setup
