@@ -31,23 +31,9 @@ from .coreset import Coreset
 from .projector import Projector
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-@jax.jit
-def _quantize_chunk(vecs, live):
-    """f32 (C, S) projection chunk -> (int8 normalized rows, norms, b part).
-
-    Module-level jit so every streamed HilbertCoreset with the same chunk
-    shape shares one compilation.
-    """
-    rowmask = jnp.arange(vecs.shape[0]) < live
-    vecs = jnp.where(rowmask[:, None], vecs, 0.0)
-    nrm = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
-    safe = jnp.where(nrm > 0, nrm, 1.0)
-    q = jnp.clip(jnp.round(vecs / safe[:, None] * 127.0), -127, 127).astype(jnp.int8)
-    return q, nrm, jnp.sum(vecs, axis=0)
+from ..parallel.streamed import (make_streamed_quantized_consts,
+                                 quantize_chunk as _quantize_chunk,
+                                 round_up as _round_up)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -191,29 +177,23 @@ class HilbertCoreset(Coreset):
         at beyond-HBM N), host->device traffic is the raw data rows only
         (not the 4x-larger f32 projection), and no single device or host
         ever holds more than its 1/|mesh| int8 shard plus one f32 chunk.
-        The solver then runs the shard_map SPMD build (parallel/coreset.py).
+        The construction itself is parallel/streamed.py
+        ``make_streamed_quantized_consts`` (whose multi-controller form
+        lets each pod host pass only its ``streamed_row_layout`` rows);
+        the solver then runs the shard_map SPMD build (parallel/coreset.py).
         Projectors whose ``project`` is not jax-traceable (numpy/scipy
         internals) fall back to default-device projection with int8
-        shipping (``_init_streamed_sharded_hostproj``).  Multi-host
-        deployments run this same loop per controller over
-        ``distributed.local_data_shard`` row ranges.  Reference analogue:
-        the N-scaling intent of hilbert.py:16 subsampling, replaced by
-        actually scaling N.
+        shipping (``_init_streamed_sharded_hostproj``).  Reference
+        analogue: the N-scaling intent of hilbert.py:16 subsampling,
+        replaced by actually scaling N.
         """
-        import math
-
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from ..parallel.mesh import DATA_AXIS
 
         if tuple(mesh.axis_names) != (DATA_AXIS,):
             raise ValueError("streamed-sharded construction takes a 1-D "
                              f"'{DATA_AXIS}' mesh (int8-resident builds are "
                              "data-parallel only)")
-        ndata = mesh.shape[DATA_AXIS]
         n = data.shape[0]
-        rows_glob = _round_up(n, math.lcm(1024, ndata))
-        rows_loc = rows_glob // ndata
 
         # same fixed-context requirement as the single-device stream
         sentinel = jnp.asarray(data[:1])
@@ -227,66 +207,10 @@ class HilbertCoreset(Coreset):
         S = p1.shape[1]
         Sp = _round_up(S, 128)
 
-        extra = (None,) * (data.ndim - 1)
-        buf_sh = NamedSharding(mesh, P(DATA_AXIS, None))
-        row_sh = NamedSharding(mesh, P(DATA_AXIS, *extra))
-        live_sh = NamedSharding(mesh, P(DATA_AXIS))
-        buf = jax.jit(lambda: jnp.zeros((rows_glob, Sp), jnp.int8),
-                      out_shardings=buf_sh)()
-
-        def _make_step(csize: int):
-            def core(buf_loc, xc_loc, live_loc, lo):
-                vecs = ll_projector.project(xc_loc)       # on-shard
-                q, nrm, bsum = _quantize_chunk(vecs, live_loc[0])
-                if q.shape[1] != Sp:
-                    q = jnp.pad(q, ((0, 0), (0, Sp - q.shape[1])))
-                buf_loc = jax.lax.dynamic_update_slice(buf_loc, q, (lo, 0))
-                return buf_loc, nrm, jax.lax.psum(bsum, DATA_AXIS)
-
-            return jax.jit(jax.shard_map(
-                core, mesh=mesh,
-                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, *extra),
-                          P(DATA_AXIS), P()),
-                out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P())),
-                donate_argnums=0)
-
-        def _assemble(lo: int, csize: int):
-            xc = np.zeros((ndata * csize,) + data.shape[1:], data.dtype)
-            live = np.zeros(ndata, np.int32)
-            for k in range(ndata):
-                shard_lo = k * rows_loc
-                shard_n = max(0, min(n - shard_lo, rows_loc))
-                cnt = max(0, min(shard_n - lo, csize))
-                if cnt:
-                    xc[k * csize: k * csize + cnt] = \
-                        data[shard_lo + lo: shard_lo + lo + cnt]
-                live[k] = cnt
-            return (jax.device_put(jnp.asarray(xc), row_sh),
-                    jax.device_put(jnp.asarray(live), live_sh))
-
-        norms_host = np.zeros(rows_glob, np.float32)
-        b_total = np.zeros(S, np.float64)
-
-        def _run(step_fn, buf, lo, csize):
-            xg, lg = _assemble(lo, csize)
-            buf, nrm, bsum = step_fn(buf, xg, lg, jnp.int32(lo))
-            seg = np.asarray(nrm).reshape(ndata, csize)
-            for k in range(ndata):
-                norms_host[k * rows_loc + lo: k * rows_loc + lo + csize] = seg[k]
-            b_total[:] += np.asarray(bsum, np.float64)
-            return buf
-
-        # full steps of one static shape, then one (differently-shaped,
-        # compiled-once) tail step — every write is a whole block, so no
-        # row is quantized or accumulated into b twice
-        chunk2 = min(chunk, rows_loc)
-        full_steps = list(range(0, rows_loc - chunk2 + 1, chunk2))
-        tail_lo = full_steps[-1] + chunk2
-        tail = rows_loc - tail_lo
-        step = _make_step(chunk2)
-
+        sampling = snnls_cls.method if snnls_cls.method in ("importance", "uniform") else None
         try:
-            buf = _run(step, buf, full_steps[0], chunk2)
+            consts = make_streamed_quantized_consts(
+                data, ll_projector.project, chunk, mesh, n, sampling=sampling)
         except (jax.errors.TracerArrayConversionError,
                 jax.errors.TracerBoolConversionError,
                 jax.errors.ConcretizationTypeError):
@@ -296,14 +220,12 @@ class HilbertCoreset(Coreset):
                 data, ll_projector, chunk, snnls_cls, seed, max_active,
                 mesh, S, Sp)
             return
-        for lo in full_steps[1:]:
-            buf = _run(step, buf, lo, chunk2)
-        if tail > 0:
-            buf = _run(_make_step(tail), buf, tail_lo, tail)
 
         self.streamed_sharded_mode = "spmd"
-        self._finish_streamed_sharded(buf, norms_host, b_total, data,
-                                      snnls_cls, seed, max_active, mesh, S)
+        self.snnls = snnls_cls.from_consts(consts, seed=seed,
+                                           max_active=max_active, mesh=mesh)
+        self.sub_idcs = np.arange(n)
+        self.data = data
 
     def _init_streamed_sharded_hostproj(self, data, ll_projector, chunk: int,
                                         snnls_cls, seed: int, max_active,

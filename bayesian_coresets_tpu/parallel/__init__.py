@@ -10,6 +10,8 @@ from .coreset import (build_sharded, build_sharded_quantized,
 from .distributed import initialize, local_data_shard
 from .mcmc import run_nuts_sharded
 from .mesh import CHAIN_AXIS, DATA_AXIS, PROJ_AXIS, data_sharding, make_mesh, replicated
+from .streamed import (make_sharded_stream_step, make_streamed_quantized_consts,
+                       streamed_row_layout)
 
 __all__ = [
     "make_mesh",
@@ -25,4 +27,7 @@ __all__ = [
     "run_nuts_sharded",
     "initialize",
     "local_data_shard",
+    "make_sharded_stream_step",
+    "make_streamed_quantized_consts",
+    "streamed_row_layout",
 ]

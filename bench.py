@@ -184,7 +184,7 @@ def main():
     max_rhat = float(np.max(np.asarray(MC.split_rhat(res.samples))))
 
     print(json.dumps({
-        "metric": "weighted_nuts_samples_per_sec_128chains",
+        "metric": f"weighted_nuts_samples_per_sec_{NUTS_CHAINS}chains",
         "value": round(nuts_sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(nuts_sps / CPU_1CHAIN_NUTS_SAMPLES_PER_S, 2),

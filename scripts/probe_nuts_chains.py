@@ -1,9 +1,15 @@
 """Probe: weighted-NUTS samples/s vs chain count on the real chip.
 
-The bench's second headline line runs 128 vmapped chains; each chain's
-state is tiny (d=10, coreset of a few hundred rows), so the chip should
-batch far more chains at near-constant wall time.  This probe times the
-bench workload at several chain counts to pick the headline setting.
+Each chain's state is tiny (d=10, coreset of a few hundred rows), so the
+chip batches thousands of vmapped chains at near-constant wall time.
+This probe times the bench workload at several chain counts (args, default
+128 256 512 1024) to pick the bench headline setting.
+
+MEASURED (v5e, 2026-08-20): 128ch 1 640, 256ch 3 663, 512ch 4 579,
+1024ch 11 447, 2048ch 13 215, 4096ch 14 445 samples/s (min-ESS/s scales
+alongside; max split-R-hat ~1.01 throughout).  1024 is the knee: the chip
+is latency-bound below ~1k chains, and past the knee wall time grows
+nearly linearly for <30% more throughput.
 
 Run ON the axon TPU (no forced CPU).  Relay-aware timing: fence with
 device_get, subtract the measured null round trip.
@@ -64,7 +70,8 @@ def main():
     null_t = nulls[len(nulls) // 2]
     print(f"null {1e3*null_t:.1f} ms", flush=True)
 
-    for chains in (1024, 2048, 4096):
+    counts = [int(c) for c in sys.argv[1:]] or [128, 256, 512, 1024]
+    for chains in counts:
         def run_nuts(key, c=chains):
             return weighted.run(logistic, zc, wc, DRAWS, key,
                                 num_chains=c, target_accept=0.8,

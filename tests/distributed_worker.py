@@ -51,6 +51,30 @@ def main():
     np.save(os.path.join(outdir, f"w_{pid}.npy"), w)
     print(f"process {pid}: done, nnz={int((w > 0).sum())}")
 
+    # ---- streamed int8-resident construction, multi-controller ----------
+    # each process passes ONLY its streamed_row_layout rows; projection
+    # runs SPMD (every device projects its own rows), and the build runs
+    # on the resulting sharded consts.  No process ever holds the full
+    # int8 matrix.
+    import jax.numpy as jnp
+    from bayesian_coresets_tpu.ops import snnls as S
+    from bayesian_coresets_tpu.parallel import (make_streamed_quantized_consts,
+                                                streamed_row_layout)
+
+    n2, d2 = 3000, 6
+    rng2 = np.random.default_rng(1)
+    full = rng2.normal(size=(n2, d2)).astype(np.float32)   # same on every host
+    ths = jnp.asarray(rng2.normal(size=(16, d2)).astype(np.float32))
+    project = lambda pts: jnp.tanh(pts @ ths.T)            # fixed-context
+    _, _, _, sl = streamed_row_layout(n2, mesh)
+    consts = make_streamed_quantized_consts(full[sl], project, 512, mesh, n2)
+    alg = S.GIGA.from_consts(consts, seed=0, max_active=64, mesh=mesh)
+    alg.build(40)
+    idx, vals = alg.active()
+    np.save(os.path.join(outdir, f"stream_idx_{pid}.npy"), idx)
+    np.save(os.path.join(outdir, f"stream_w_{pid}.npy"), vals)
+    print(f"process {pid}: streamed done, active={int((vals > 0).sum())}")
+
 
 if __name__ == "__main__":
     main()

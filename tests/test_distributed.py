@@ -59,3 +59,35 @@ def test_two_process_build_matches_single_process(tmp_path, cpu_devices):
     mesh = make_mesh({"data": 4}, devices=cpu_devices[:4])
     st = build_sharded(A, b, 64, mesh, max_active=128)
     np.testing.assert_allclose(w0, np.asarray(st.w), rtol=1e-6, atol=1e-7)
+
+    # ---- streamed int8-resident construction across the two processes ----
+    # each worker passed only its streamed_row_layout rows and projected
+    # them SPMD; both controllers must agree, and the result must match a
+    # single-process run over the same 4-device layout (same per-device
+    # shapes -> same compiled per-shard program)
+    si0 = np.load(tmp_path / "stream_idx_0.npy")
+    si1 = np.load(tmp_path / "stream_idx_1.npy")
+    sw0 = np.load(tmp_path / "stream_w_0.npy")
+    sw1 = np.load(tmp_path / "stream_w_1.npy")
+    np.testing.assert_array_equal(si0, si1)
+    np.testing.assert_array_equal(sw0, sw1)
+    assert (sw0 > 0).sum() > 0
+
+    import jax.numpy as jnp
+    from bayesian_coresets_tpu.ops import snnls as S
+    from bayesian_coresets_tpu.parallel import make_streamed_quantized_consts
+
+    n2, d2 = 3000, 6
+    rng2 = np.random.default_rng(1)
+    full = rng2.normal(size=(n2, d2)).astype(np.float32)
+    ths = jnp.asarray(rng2.normal(size=(16, d2)).astype(np.float32))
+    project = lambda pts: jnp.tanh(pts @ ths.T)
+    consts = make_streamed_quantized_consts(full, project, 512, mesh, n2)
+    alg = S.GIGA.from_consts(consts, seed=0, max_active=64, mesh=mesh)
+    alg.build(40)
+    idx_ref, w_ref = alg.active()
+    np.testing.assert_array_equal(si0, idx_ref)
+    # the b partials cross the process boundary through one all-reduce
+    # whose reduction order is not bit-specified vs the in-process psum;
+    # that f32 ulp in b compounds over 40 GIGA reweights to ~1e-4 relative
+    np.testing.assert_allclose(sw0, w_ref, rtol=5e-4, atol=1e-6)

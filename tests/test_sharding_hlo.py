@@ -201,3 +201,64 @@ def test_spmd_build_bit_matches_gather_build(rng, cpu_devices):
     alg = snnls.GIGA(A, b)
     alg.build(60)
     np.testing.assert_array_equal(np.asarray(st.w), alg.weights())
+
+
+def _stream_step_lowered(mesh, csize, S=32, d=4):
+    """Lower the EXACT SPMD streamed-construction step HilbertCoreset runs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bayesian_coresets_tpu.parallel.streamed import (
+        make_sharded_stream_step, round_up as _round_up)
+    from bayesian_coresets_tpu.coresets.projector import center_lls
+    from bayesian_coresets_tpu.models import logistic
+
+    ndev = mesh.shape["data"]
+    Sp = _round_up(S, 128)
+    ths = 0.1 * jax.random.normal(jax.random.key(0), (S, d), jnp.float32)
+    project = lambda pts: center_lls(logistic.log_likelihood(pts, ths))
+    step = make_sharded_stream_step(project, mesh, Sp, extra_dims=1)
+    rows_loc = _round_up(4 * csize, 1024)
+    buf = jax.device_put(jnp.zeros((ndev * rows_loc, Sp), jnp.int8),
+                         NamedSharding(mesh, P("data", None)))
+    xc = jax.device_put(jnp.zeros((ndev * csize, d), jnp.float32),
+                        NamedSharding(mesh, P("data", None)))
+    live = jax.device_put(jnp.full(ndev, csize, jnp.int32),
+                          NamedSharding(mesh, P("data")))
+    return step.lower(buf, xc, live, jnp.int32(0)).compile()
+
+
+def test_streamed_projection_step_is_spmd(cpu_devices):
+    """The streamed-sharded construction step (every device projects its
+    OWN rows): its only collective is the O(Sp) b-partial psum — bytes must
+    be chunk-size-independent — and per-device compiled work must not grow
+    with the mesh size at constant per-device rows (the 'capacity ceiling
+    scales with the device count' claim)."""
+    S, Sp = 32, 128
+    mesh8 = make_mesh({"data": 8})
+
+    c1 = _stream_step_lowered(mesh8, csize=256, S=S)
+    c2 = _stream_step_lowered(mesh8, csize=512, S=S)
+    for compiled, csize in ((c1, 256), (c2, 512)):
+        stats = collective_stats(compiled.as_text())
+        assert stats, "the step must psum the b partials"
+        for op, nbytes, line in stats:
+            assert nbytes <= 4 * Sp * 4, (
+                f"stream-step collective beyond O(Sp) ({nbytes} bytes): "
+                f"projection is being replicated\n{line[:200]}")
+    sig1 = sorted((op, n) for op, n, _ in collective_stats(c1.as_text()))
+    sig2 = sorted((op, n) for op, n, _ in collective_stats(c2.as_text()))
+    assert sig1 == sig2, "collective bytes depend on the chunk size"
+
+    # weak scaling of the projection phase: per-device FLOPs/bytes at
+    # 4 devices == at 8 devices (same per-device chunk rows)
+    def per_device_cost(ndev):
+        mesh = make_mesh({"data": ndev}, devices=jax.devices()[:ndev])
+        ca = _stream_step_lowered(mesh, csize=256, S=S).cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0)), float(ca.get("bytes accessed", 0))
+
+    f4, b4 = per_device_cost(4)
+    f8, b8 = per_device_cost(8)
+    assert f8 <= f4 * 1.01 and b8 <= b4 * 1.01, (
+        f"per-device stream-step work grows with the mesh: "
+        f"flops {f4} -> {f8}, bytes {b4} -> {b8}")
