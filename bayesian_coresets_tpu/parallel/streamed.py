@@ -107,6 +107,8 @@ def streamed_row_layout(n: int, mesh):
     flat = list(mesh.devices.reshape(-1))
     pos = [i for i, d in enumerate(flat)
            if d.process_index == jax.process_index()]
+    if not pos:                         # process not in this mesh: no rows
+        return rows_glob, rows_loc, [], slice(0, 0)
     if pos != list(range(pos[0], pos[0] + len(pos))):
         raise ValueError(
             "this process's devices are not contiguous along the data axis; "
@@ -158,7 +160,7 @@ def make_streamed_quantized_consts(local_rows, project_fn, chunk: int, mesh,
     step = make_sharded_stream_step(project_fn, mesh, Sp,
                                     extra_dims=len(extra_shape))
     ndata = mesh.shape[DATA_AXIS]
-    base = pos[0] * rows_loc                   # global row of local row 0
+    base = (pos[0] if pos else 0) * rows_loc   # global row of local row 0
 
     norms_local = np.zeros(len(pos) * rows_loc, np.float32)
     b_total = np.zeros(S, np.float64)

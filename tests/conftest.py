@@ -22,6 +22,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_cache_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles thousands of distinct XLA CPU programs in one
+    process; letting them accumulate made the run progressively slower and
+    eventually SEGFAULT inside libgcc unwinding (reproducibly at ~160
+    tests in; either half of the suite alone is fine).  Per-module
+    ``jax.clear_caches()`` bounds the live-executable count — the
+    recompiles it causes are small next to the pathology it removes.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
