@@ -232,7 +232,9 @@ def make_streamed_quantized_consts(local_rows, project_fn, chunk: int, mesh,
     if n_valid == 0:
         raise ValueError("all projected vectors are zero or masked")
     b = np.pad(b_total.astype(np.float32), (0, Sp - S))
-    bnorm = np.float32(np.sqrt(float((b_total * b_total).sum())))
+    # f32, same op as ops.snnls._finish_quantized — an f64 host bnorm would
+    # differ by ulps and shift GIGA's scalar algebra measurably over a build
+    bnorm = jnp.sqrt(jnp.sum(jnp.square(jnp.asarray(b))))
 
     if sampling == "importance":
         ps_local = np.where(
@@ -246,5 +248,5 @@ def make_streamed_quantized_consts(local_rows, project_fn, chunk: int, mesh,
         ps = jnp.zeros(0, jnp.float32)       # non-sampling marker
 
     return snnls.SNNLSConsts(
-        V=buf, b=jnp.asarray(b), norms=norms_g, bnorm=jnp.float32(bnorm),
+        V=buf, b=jnp.asarray(b), norms=norms_g, bnorm=bnorm,
         valid=valid_g, ps=ps, Vsel=jnp.zeros((0, Sp), jnp.int8))

@@ -265,3 +265,60 @@ def test_sparsevi_and_bpsvi_sharded_data_match_single_device(cpu_devices):
     pb.build(6)
     np.testing.assert_allclose(pa.wts, pb.wts, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(pa.pts, pb.pts, rtol=1e-4, atol=1e-4)
+
+
+def test_streamed_row_layout_edges(cpu_devices):
+    """Row-layout math: buffer row i == data row i, contiguous per-device
+    blocks, pad rows only past n, single-controller slice covers [0, n)."""
+    from bayesian_coresets_tpu.parallel import make_mesh, streamed_row_layout
+
+    for ndev, n in [(8, 3000), (8, 8192), (4, 1), (2, 1025), (1, 77)]:
+        mesh = make_mesh({"data": ndev}, devices=jax.devices()[:ndev])
+        rows_glob, rows_loc, pos, sl = streamed_row_layout(n, mesh)
+        assert rows_glob % 1024 == 0 and rows_glob % ndev == 0
+        assert rows_loc * ndev == rows_glob
+        assert rows_glob >= n
+        assert pos == list(range(ndev))          # single controller owns all
+        assert sl == slice(0, n)
+
+
+def test_make_streamed_quantized_consts_direct(rng, cpu_devices):
+    """The consts-level streamed constructor (the multi-controller API)
+    produces the same quantized system + build results as the in-memory
+    int8-resident constructor on the same projection."""
+    import jax.numpy as jnp
+    from bayesian_coresets_tpu.ops import snnls
+    from bayesian_coresets_tpu.parallel import (make_mesh,
+                                                make_streamed_quantized_consts)
+
+    n, d, S = 1500, 5, 32
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    W = jnp.asarray(rng.normal(size=(S, d)).astype(np.float32))
+    project = lambda pts: jnp.tanh(pts @ W.T)
+    mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+    # chunk larger than rows_loc AND a ragged tail both exercised across
+    # these two chunk sizes (rows_loc = 512 here)
+    for chunk in (100, 10_000):
+        consts = make_streamed_quantized_consts(X, project, chunk, mesh, n)
+        alg = snnls.GIGA.from_consts(consts, seed=0, max_active=64, mesh=mesh)
+        alg.build(30)
+        idx, vals = alg.active()
+
+        vecs = np.asarray(project(jnp.asarray(X)))
+        norms = np.sqrt((vecs**2).sum(axis=1))
+        Vq = np.clip(np.round(vecs / np.where(norms > 0, norms, 1)[:, None]
+                              * 127.0), -127, 127).astype(np.int8)
+        got = np.asarray(consts.V)[:n, :S]
+        diff = np.abs(got.astype(np.int32) - Vq.astype(np.int32))
+        assert diff.max() <= 1 and (diff != 0).mean() < 1e-3
+        ref = snnls.GIGA.from_consts(
+            snnls.make_consts_quantized(
+                jnp.asarray(np.asarray(consts.V)),
+                jnp.asarray(np.asarray(consts.norms)),
+                jnp.asarray(np.asarray(consts.b)),
+                valid=jnp.asarray(np.asarray(consts.valid))),
+            seed=0, max_active=64)
+        ref.build(30)
+        i2, v2 = ref.active()
+        np.testing.assert_array_equal(idx, i2)
+        np.testing.assert_allclose(vals, v2, rtol=1e-5, atol=1e-7)
