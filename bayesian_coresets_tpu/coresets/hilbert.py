@@ -210,12 +210,21 @@ class HilbertCoreset(Coreset):
         sampling = snnls_cls.method if snnls_cls.method in ("importance", "uniform") else None
         try:
             consts = make_streamed_quantized_consts(
-                data, ll_projector.project, chunk, mesh, n, sampling=sampling)
+                data, ll_projector.project, chunk, mesh, n, sampling=sampling,
+                S=S)
         except (jax.errors.TracerArrayConversionError,
                 jax.errors.TracerBoolConversionError,
+                jax.errors.TracerIntegerConversionError,
                 jax.errors.ConcretizationTypeError):
-            # projector computes outside jax (numpy/scipy internals):
-            # project on the default device, ship int8 shards
+            # projector computes outside jax (numpy/scipy internals) —
+            # fall back to default-device projection with int8 shipping.
+            # The fallback runs OUTSIDE this except block: an in-flight
+            # exception pins the failed attempt's traceback, whose frames
+            # hold the fully-allocated sharded int8 buffer — calling the
+            # fallback here would double peak device memory at exactly
+            # the beyond-HBM sizes this path exists for.
+            consts = None
+        if consts is None:
             self._init_streamed_sharded_hostproj(
                 data, ll_projector, chunk, snnls_cls, seed, max_active,
                 mesh, S, Sp)

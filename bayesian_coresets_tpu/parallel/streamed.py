@@ -119,7 +119,8 @@ def streamed_row_layout(n: int, mesh):
 
 
 def make_streamed_quantized_consts(local_rows, project_fn, chunk: int, mesh,
-                                   n: int, sampling: str | None = None):
+                                   n: int, sampling: str | None = None,
+                                   S: int | None = None):
     """Stream-construct int8-resident sharded solver constants.
 
     ``local_rows``: the data rows THIS process owns — exactly
@@ -130,6 +131,10 @@ def make_streamed_quantized_consts(local_rows, project_fn, chunk: int, mesh,
     (jax.errors.TracerArrayConversionError and friends — the
     single-controller HilbertCoreset facade catches these and falls back
     to default-device projection).
+
+    ``S``: the projection dimension, if the caller already knows it —
+    otherwise one tiny probe projection is run to read it (an extra eager
+    round trip on relay-attached devices).
 
     All processes must call this (and the subsequent solver operations)
     collectively.  Returns :class:`~..ops.snnls.SNNLSConsts` with the int8
@@ -146,10 +151,11 @@ def make_streamed_quantized_consts(local_rows, project_fn, chunk: int, mesh,
     flat = list(mesh.devices.reshape(-1))
     extra_shape = local_rows.shape[1:]
 
-    # probe the projection dimension (one tiny local projection)
-    probe_in = (local_rows[:1] if local_rows.shape[0] else
-                np.zeros((1,) + extra_shape, local_rows.dtype))
-    S = int(np.asarray(project_fn(jnp.asarray(probe_in))).shape[1])
+    if S is None:
+        # probe the projection dimension (one tiny local projection)
+        probe_in = (local_rows[:1] if local_rows.shape[0] else
+                    np.zeros((1,) + extra_shape, local_rows.dtype))
+        S = int(np.asarray(project_fn(jnp.asarray(probe_in))).shape[1])
     Sp = round_up(S, 128)
 
     buf_sh = NamedSharding(mesh, P(DATA_AXIS, None))
@@ -182,7 +188,9 @@ def make_streamed_quantized_consts(local_rows, project_fn, chunk: int, mesh,
         lg = jax.make_array_from_single_device_arrays((ndata,), live_sh, pl)
         buf, nrm, bsum = step(buf, xg, lg, jnp.int32(lo))
         for shard in nrm.addressable_shards:
-            k = shard.index[0].start // csize           # device position
+            # device position (index[0].start is None on a 1-device mesh:
+            # the axis is unsharded and the slice is slice(None))
+            k = (shard.index[0].start or 0) // csize
             off = (k - pos[0]) * rows_loc + lo
             norms_local[off: off + csize] = np.asarray(shard.data)
         b_total[:] += np.asarray(bsum, np.float64)
@@ -250,3 +258,27 @@ def make_streamed_quantized_consts(local_rows, project_fn, chunk: int, mesh,
     return snnls.SNNLSConsts(
         V=buf, b=jnp.asarray(b), norms=norms_g, bnorm=bnorm,
         valid=valid_g, ps=ps, Vsel=jnp.zeros((0, Sp), jnp.int8))
+
+
+def lower_stream_step_for_analysis(mesh, csize: int, S: int, d: int):
+    """Lower ONE SPMD stream step on a synthetic logistic projector and
+    return the compiled executable — the shared program used by BOTH the
+    scaling harness (scripts/bench_scaling.py compiled-work accounting)
+    and the HLO communication test (tests/test_sharding_hlo.py), so the
+    two always analyze the same program HilbertCoreset runs."""
+    from ..coresets.projector import center_lls
+    from ..models import logistic
+
+    ndev = mesh.shape[DATA_AXIS]
+    Sp = round_up(S, 128)
+    ths = 0.1 * jax.random.normal(jax.random.key(0), (S, d), jnp.float32)
+    project = lambda pts: center_lls(logistic.log_likelihood(pts, ths))
+    step = make_sharded_stream_step(project, mesh, Sp, extra_dims=1)
+    rows_loc = round_up(4 * csize, 1024)
+    buf = jax.device_put(jnp.zeros((ndev * rows_loc, Sp), jnp.int8),
+                         NamedSharding(mesh, P(DATA_AXIS, None)))
+    xc = jax.device_put(jnp.zeros((ndev * csize, d), jnp.float32),
+                        NamedSharding(mesh, P(DATA_AXIS, None)))
+    live = jax.device_put(jnp.full(ndev, csize, jnp.int32),
+                          NamedSharding(mesh, P(DATA_AXIS)))
+    return step.lower(buf, xc, live, jnp.int32(0)).compile()

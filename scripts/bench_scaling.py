@@ -142,25 +142,14 @@ def main():
     def _per_device_stream_cost(s):
         """One SPMD streamed-construction step (HilbertCoreset mesh= +
         stream_chunk_size=: every device projects + quantizes its own
-        rows); per-device work must stay constant as the mesh grows."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        rows); per-device work must stay constant as the mesh grows.
+        Shared lowering helper: the HLO test analyzes the same program."""
         from bayesian_coresets_tpu.parallel.streamed import (
-            make_sharded_stream_step, round_up as _round_up)
+            lower_stream_step_for_analysis)
 
-        csize, Sq = 1024, args.proj_dim
-        Sp = _round_up(Sq, 128)
         meshc = make_mesh({"data": s}, devices=jax.devices()[:s])
-        ths = 0.1 * jax.random.normal(jax.random.key(1), (Sq, D), jnp.float32)
-        project = lambda pts: center_lls(logistic.log_likelihood(pts, ths))
-        step = make_sharded_stream_step(project, meshc, Sp, extra_dims=1)
-        rows_loc = _round_up(4 * csize, 1024)
-        buf = jax.device_put(jnp.zeros((s * rows_loc, Sp), jnp.int8),
-                             NamedSharding(meshc, P("data", None)))
-        xc = jax.device_put(jnp.zeros((s * csize, D), jnp.float32),
-                            NamedSharding(meshc, P("data", None)))
-        live = jax.device_put(jnp.full(s, csize, jnp.int32),
-                              NamedSharding(meshc, P("data")))
-        ca = step.lower(buf, xc, live, jnp.int32(0)).compile().cost_analysis()
+        ca = lower_stream_step_for_analysis(
+            meshc, csize=1024, S=args.proj_dim, d=D).cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))

@@ -282,6 +282,26 @@ def test_streamed_row_layout_edges(cpu_devices):
         assert sl == slice(0, n)
 
 
+def test_streamed_consts_one_device_mesh(rng, cpu_devices):
+    # regression: a 1-device data mesh leaves the row axis unsharded, so
+    # shard.index[0] is slice(None) — the norms collection must not crash
+    import jax.numpy as jnp
+    from bayesian_coresets_tpu.ops import snnls
+    from bayesian_coresets_tpu.parallel import (make_mesh,
+                                                make_streamed_quantized_consts)
+
+    n, d, S = 700, 4, 16
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    W = jnp.asarray(rng.normal(size=(S, d)).astype(np.float32))
+    mesh = make_mesh({"data": 1}, devices=jax.devices()[:1])
+    consts = make_streamed_quantized_consts(
+        X, lambda pts: jnp.tanh(pts @ W.T), 256, mesh, n)
+    alg = snnls.GIGA.from_consts(consts, seed=0, max_active=32, mesh=mesh)
+    alg.build(10)
+    idx, vals = alg.active()
+    assert (vals > 0).sum() > 0
+
+
 def test_make_streamed_quantized_consts_direct(rng, cpu_devices):
     """The consts-level streamed constructor (the multi-controller API)
     produces the same quantized system + build results as the in-memory

@@ -204,26 +204,12 @@ def test_spmd_build_bit_matches_gather_build(rng, cpu_devices):
 
 
 def _stream_step_lowered(mesh, csize, S=32, d=4):
-    """Lower the EXACT SPMD streamed-construction step HilbertCoreset runs."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    """Lower the EXACT SPMD streamed-construction step HilbertCoreset runs
+    (shared helper — the scaling harness analyzes the same program)."""
     from bayesian_coresets_tpu.parallel.streamed import (
-        make_sharded_stream_step, round_up as _round_up)
-    from bayesian_coresets_tpu.coresets.projector import center_lls
-    from bayesian_coresets_tpu.models import logistic
+        lower_stream_step_for_analysis)
 
-    ndev = mesh.shape["data"]
-    Sp = _round_up(S, 128)
-    ths = 0.1 * jax.random.normal(jax.random.key(0), (S, d), jnp.float32)
-    project = lambda pts: center_lls(logistic.log_likelihood(pts, ths))
-    step = make_sharded_stream_step(project, mesh, Sp, extra_dims=1)
-    rows_loc = _round_up(4 * csize, 1024)
-    buf = jax.device_put(jnp.zeros((ndev * rows_loc, Sp), jnp.int8),
-                         NamedSharding(mesh, P("data", None)))
-    xc = jax.device_put(jnp.zeros((ndev * csize, d), jnp.float32),
-                        NamedSharding(mesh, P("data", None)))
-    live = jax.device_put(jnp.full(ndev, csize, jnp.int32),
-                          NamedSharding(mesh, P("data")))
-    return step.lower(buf, xc, live, jnp.int32(0)).compile()
+    return lower_stream_step_for_analysis(mesh, csize, S, d)
 
 
 def test_streamed_projection_step_is_spmd(cpu_devices):
