@@ -257,6 +257,15 @@ class SparseVICoreset(Coreset):
         if need <= self._cap:
             return
         new_cap = max(8, 1 << int(np.ceil(np.log2(need))))
+        if self._cap > 0:
+            # the slot arrays are about to change shape, which recompiles
+            # the whole jitted build core — an incremental sweep that grows
+            # past capacity k times pays k multi-second compiles
+            self.log.warning(
+                f"coreset capacity regrowing {self._cap} -> {new_cap}: the "
+                "build core recompiles at every new capacity.  Pass "
+                "capacity=<final coreset size> at construction (e.g. the "
+                "sweep's largest M) to compile once for the whole sweep.")
         self._wts = jnp.zeros((new_cap,), self.data.dtype).at[: self._cap].set(self._wts)
         self._idcs = jnp.full((new_cap,), -1, jnp.int32).at[: self._cap].set(self._idcs)
         self._cap = new_cap

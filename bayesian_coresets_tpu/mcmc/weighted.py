@@ -111,7 +111,7 @@ def _shard_chain_inits(init_params, mesh):
 
 
 def run(model, z, wts, n_samples: int, key, d: int | None = None,
-        num_chains: int = 1, max_depth: int = 10, target_accept: float = 0.9,
+        num_chains: int = 1, max_depth: int = 15, target_accept: float = 0.9,
         init: jax.Array | None = None, pooled_adaptation: bool = False,
         num_warmup: int | None = None, precondition: bool = True,
         f64_logdensity: bool = False, dense_mass: bool = False,
@@ -121,8 +121,14 @@ def run(model, z, wts, n_samples: int, key, d: int | None = None,
     Mirrors ``mcmc.run(...) -> (samples, t_sample)`` (reference
     examples/common/mcmc.py:58-68): ``n_samples`` PER-CHAIN kept draws after
     ``num_warmup`` warmup steps (default: ``n_samples``, the reference's
-    iter=2*N-with-half-burn-in convention), and ``target_accept`` defaults
-    to Stan's adapt_delta=0.9.  When splitting a total draw budget across
+    iter=2*N-with-half-burn-in convention), ``target_accept`` defaults
+    to Stan's adapt_delta=0.9, and ``max_depth`` defaults to the
+    reference's max_treedepth=15 (mcmc.py:58).  Depth only bounds the
+    doubling loop — trees still stop at the first u-turn/divergence — so
+    on well-conditioned (preconditioned) posteriors the deeper cap costs
+    nothing beyond the (max_depth, d) checkpoint buffers; it matters
+    exactly when adaptation lands on a small step size and the reference
+    convention would keep integrating.  When splitting a total draw budget across
     chains, pass ``num_warmup`` explicitly — warmup/adaptation length must
     NOT shrink with the chain count (each chain adapts independently of how
     many siblings it has; an 8-way split of a 2000-draw budget would
