@@ -377,6 +377,45 @@ class TestStreamedHilbert:
         assert g["rkl"](*hs.get()[:2]) < 1.0
         assert g["rkl"](*hp.get()[:2]) < 1.0
 
+    def test_streamed_sharded_catches_shard_unsafe_projector(self, gauss_setup):
+        """A jax-traceable projector whose output depends on the batch
+        SHAPE (a realistic shard_map hazard: per-device chunks see local
+        batch sizes) passes the trace-error fallback, but the probe-row
+        cross-check catches the divergence and reroutes to the hostproj
+        path, which reproduces single-device streaming semantics."""
+        from bayesian_coresets_tpu.parallel import make_mesh
+
+        g = gauss_setup
+        mesh = make_mesh({"data": 8})
+        prj = bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"])
+
+        class BatchScaledProjector:
+            """Deterministic + traceable, but scales by the batch size —
+            wrong under shard_map, where each device sees a local batch."""
+
+            def __init__(self, inner):
+                self.inner = inner
+
+            def project(self, pts):
+                return self.inner.project(pts) * pts.shape[0]
+
+            def update(self, wts, pts):
+                pass
+
+        hb = bct.HilbertCoreset(g["x"], BatchScaledProjector(prj),
+                                stream_chunk_size=64, mesh=mesh)
+        assert hb.streamed_sharded_mode == "hostproj"
+        # the committed rows came from the (consistent) default-device
+        # stream: per-row normalization cancels the batch scale, so the
+        # int8 rows must match the direct quantization of the projection
+        vecs = np.asarray(prj.project(g["x"]))
+        norms = np.sqrt((vecs**2).sum(axis=1))
+        safe = np.where(norms > 0, norms, 1.0)
+        Vq = np.clip(np.round(vecs / safe[:, None] * 127.0),
+                     -127, 127).astype(np.int8)
+        np.testing.assert_array_equal(
+            np.asarray(hb.snnls.consts.V)[:g["N"], :g["S"]], Vq)
+
     def test_streamed_rejects_subsample(self, gauss_setup):
         g = gauss_setup
         prj = bct.BlackBoxProjector(g["sampler_opt"], g["S"], g["loglik"])
