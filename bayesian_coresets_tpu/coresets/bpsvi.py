@@ -28,16 +28,37 @@ from .projector import TangentFamily
 from .sparsevi import resolve_family
 
 
-@partial(jax.jit, static_argnames=("family", "sz", "n_sub_opt",
-                                   "opt_itrs", "step_sched"))
-def bpsvi_build(data, key, *, family: TangentFamily, sz: int,
-                n_sub_opt, opt_itrs: int, step_sched):
-    """Initialize and optimize a size-``sz`` pseudocoreset; returns (wts, pts)."""
-    n, d = data.shape
-    k_init, k_opt = jax.random.split(key)
+def uniform_init_idcs(n: int, sz: int, key) -> jax.Array:
+    """Uniform without-replacement init draw, computed on the HOST.
 
-    # uniform without-replacement init (reference bpsvi.py:17-20)
-    init_idcs = jax.random.choice(k_init, n, (sz,), replace=False)
+    The reference initializes with ``np.random.choice(..., replace=False)``
+    (bpsvi.py:17-20).  Drawing in-jit with ``jax.random.choice`` lowers to
+    a full n-element random sort that GSPMD REPLICATES on every device of
+    a row-sharded build — a measured 1.6-1.8x per-device compiled-work
+    inflation at 8 devices (tests/test_sharding_hlo.py::
+    test_svi_bpsvi_sharded_work_is_flat caught it).  A one-time O(sz) host
+    draw (seeded deterministically from the jax key, so reset()/rebuild
+    reproducibility is preserved) removes the device cost entirely; the
+    in-jit ``data[init_idcs]`` gather stays an O(sz*d) partial-gather.
+    """
+    seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.choice(int(n), size=int(sz),
+                                  replace=False).astype(np.int32))
+
+
+@partial(jax.jit, static_argnames=("family", "n_sub_opt",
+                                   "opt_itrs", "step_sched"))
+def bpsvi_build(data, init_idcs, key, *, family: TangentFamily,
+                n_sub_opt, opt_itrs: int, step_sched):
+    """Optimize a size-``len(init_idcs)`` pseudocoreset initialized at the
+    given data rows (see :func:`uniform_init_idcs`); returns (wts, pts)."""
+    n, d = data.shape
+    sz = init_idcs.shape[0]
+    k_opt = key
+
+    # uniform without-replacement init (reference bpsvi.py:17-20), drawn on
+    # the host by the caller so no n-scale replicated sort enters the jit
     pts0 = data[init_idcs]
     wts0 = jnp.full((sz,), n / sz, data.dtype)
     x0 = jnp.concatenate([wts0, pts0.reshape(-1)])
@@ -127,9 +148,10 @@ class BatchPSVICoreset(Coreset):
         super().reset()
 
     def _build(self, sz: int):
-        self._key, k = jax.random.split(self._key)
+        self._key, k_init, k = jax.random.split(self._key, 3)
+        init_idcs = uniform_init_idcs(self.data.shape[0], int(sz), k_init)
         wts, pts = bpsvi_build(
-            self.data, k, family=self.family, sz=int(sz),
+            self.data, init_idcs, k, family=self.family,
             n_sub_opt=self.n_subsample_opt, opt_itrs=self.opt_itrs,
             step_sched=self.step_sched)
         self.wts = np.asarray(wts)

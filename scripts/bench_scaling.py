@@ -154,11 +154,72 @@ def main():
             ca = ca[0]
         return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
+    # SparseVI / BatchPSVI sharded builds run GSPMD-auto-partitioned (not
+    # shard_map) — exactly the regime where r3's 1.5x inflation hid; the
+    # HLO tests cap collective BYTES, this caps per-device WORK
+    # (tests/test_sharding_hlo.py::test_svi_bpsvi_sharded_work_is_flat is
+    # the regression guard for the same property).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import bayesian_coresets_tpu  # noqa: F401 (register tangent families)
+    from bayesian_coresets_tpu.coresets import gaussian_tangent_family
+    from bayesian_coresets_tpu.coresets.sparsevi import svi_build
+    from bayesian_coresets_tpu.coresets.bpsvi import (bpsvi_build,
+                                                      uniform_init_idcs)
+    from bayesian_coresets_tpu.models import gaussian
+
+    SVI_D, SVI_NPD, SVI_CAP, SVI_OPT_ITRS, SVI_ITRS = 16, 8192, 16, 10, 4
+    fam = gaussian_tangent_family(jnp.zeros(SVI_D), jnp.eye(SVI_D),
+                                  jnp.eye(SVI_D), jnp.eye(SVI_D))
+    sched = lambda i: 1.0 / (1.0 + i)
+
+    def _svi_family_cost(kind, n_sub):
+        def costf(s):
+            meshc = make_mesh({"data": s}, devices=jax.devices()[:s])
+            x = gaussian.gen_synthetic(jax.random.key(1), SVI_NPD * s, SVI_D)
+            xs = jax.device_put(x, NamedSharding(meshc, P("data", None)))
+            if kind == "svi":
+                low = svi_build.lower(
+                    xs, jnp.zeros(SVI_CAP), jnp.full(SVI_CAP, -1, jnp.int32),
+                    jnp.int32(0), jax.random.key(0), jnp.int32(SVI_ITRS),
+                    family=fam, n_sub_sel=n_sub, n_sub_opt=n_sub,
+                    opt_itrs=SVI_OPT_ITRS, step_sched=sched)
+            else:
+                init = uniform_init_idcs(SVI_NPD * s, SVI_CAP,
+                                         jax.random.key(2))
+                low = bpsvi_build.lower(
+                    xs, init, jax.random.key(0), family=fam,
+                    n_sub_opt=n_sub, opt_itrs=SVI_OPT_ITRS, step_sched=sched)
+            ca = low.compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return (float(ca.get("flops", 0.0)),
+                    float(ca.get("bytes accessed", 0.0)))
+        return costf
+
+    def _refit_cost():
+        """The replicated part of every svi/bpsvi gradient step: context
+        refit (closed-form weighted posterior here) + coreset-slot
+        projection — O(cap*d^2 + d^3), independent of n, run identically
+        on every device."""
+        def f(key, w, pts):
+            ctx = fam.make_ctx(key, w, pts)
+            return fam.project(ctx, pts)
+        ca = jax.jit(f).lower(jax.random.key(0), jnp.zeros(SVI_CAP),
+                              jnp.zeros((SVI_CAP, SVI_D))).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
+
     import numpy as np
     compiled_work = {}
     for kind, costf in (("build", _per_device_cost),
                         ("nuts", _per_device_nuts_cost),
-                        ("stream_projection_step", _per_device_stream_cost)):
+                        ("stream_projection_step", _per_device_stream_cost),
+                        ("svi_full", _svi_family_cost("svi", None)),
+                        ("svi_subsampled", _svi_family_cost("svi", 256)),
+                        ("bpsvi_full", _svi_family_cost("bpsvi", None)),
+                        ("bpsvi_subsampled", _svi_family_cost("bpsvi", 256))):
         f1, by1 = costf(1)
         compiled_work[kind] = {}
         for s in sizes:
@@ -168,6 +229,32 @@ def main():
                 "bytes_per_device": bys,
                 "work_ratio_vs_1dev": round(max(fs / f1, bys / by1), 4),
             }
+
+    # replicated-refit separation: contexts per build iteration = 1 select
+    # refit + opt_itrs optimizer refits (svi) resp. opt_itrs (bpsvi); its
+    # share of per-device work shrinks as 1/n_per_device
+    refit_f, refit_b = _refit_cost()
+    svi_total_1dev = compiled_work["svi_full"]["1"]["flops_per_device"]
+    ctxs = SVI_ITRS * (1 + SVI_OPT_ITRS)
+    refit_total = refit_f * ctxs
+    refit_share = refit_total / max(svi_total_1dev, 1.0)
+    scalable = max(svi_total_1dev - refit_total, 1.0)      # ~linear in n
+    n_1pct = SVI_NPD * (99.0 * refit_total) / scalable
+    compiled_work["svi_refit_separation"] = {
+        "refit_flops_per_context": refit_f,
+        "refit_bytes_per_context": refit_b,
+        "contexts_per_svi_build_iter": 1 + SVI_OPT_ITRS,
+        "refit_share_of_per_device_flops_at_n_per_device": {
+            str(SVI_NPD): round(refit_share, 5)},
+        "n_per_device_where_refit_below_1pct": int(n_1pct),
+        "note": ("the context refit (closed-form weighted posterior + "
+                 "coreset-slot projection) is REPLICATED on every device; "
+                 "it is O(cap*d^2+d^3) per rebuild, so its per-device share "
+                 "falls as 1/n_per_device — above "
+                 "n_per_device_where_refit_below_1pct rows/device it is "
+                 "noise; black-box families pay a Laplace Newton refit "
+                 "instead (larger constant, same n-independence)"),
+    }
 
     # weak-scaling efficiencies: build time should stay FLAT (points/s
     # constant), nuts throughput should grow linearly with devices
@@ -273,7 +360,11 @@ def main():
                     "streamed-construction step, every device projecting + "
                     "quantizing its own rows — flat per-device work means "
                     "the beyond-HBM capacity ceiling AND the projection "
-                    "phase both scale with the device count)",
+                    "phase both scale with the device count; "
+                    "svi_*/bpsvi_* = the GSPMD-auto-partitioned "
+                    "SparseVI/BatchPSVI builds over row-sharded data, full "
+                    "and subsampled, with the replicated context-refit "
+                    "work quantified in svi_refit_separation)",
             "per_size": compiled_work,
         },
         "cost_model": {

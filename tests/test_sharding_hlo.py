@@ -104,7 +104,7 @@ def test_omp_sharded_collectives_are_n_independent(cpu_devices):
     assert sig1 == sig2
 
 
-def _svi_hlo(n, n_sub, mesh, d=8, cap_slots=16, itrs=4):
+def _svi_compiled(n, n_sub, mesh, d=8, cap_slots=16, itrs=4):
     import bayesian_coresets_tpu  # noqa: F401 (register families)
     from jax.sharding import NamedSharding, PartitionSpec as P
     from bayesian_coresets_tpu.coresets import gaussian_tangent_family
@@ -120,23 +120,33 @@ def _svi_hlo(n, n_sub, mesh, d=8, cap_slots=16, itrs=4):
     return svi_build.lower(
         xs, wts, idcs, jnp.int32(0), jax.random.key(0), jnp.int32(itrs),
         family=fam, n_sub_sel=n_sub, n_sub_opt=n_sub, opt_itrs=10,
-        step_sched=sched).compile().as_text()
+        step_sched=sched).compile()
 
 
-def _bpsvi_hlo(n, n_sub, mesh, d=8, sz=8):
+def _svi_hlo(n, n_sub, mesh, d=8, cap_slots=16, itrs=4):
+    return _svi_compiled(n, n_sub, mesh, d, cap_slots, itrs).as_text()
+
+
+def _bpsvi_compiled(n, n_sub, mesh, d=8, sz=8):
     import bayesian_coresets_tpu  # noqa: F401
     from jax.sharding import NamedSharding, PartitionSpec as P
     from bayesian_coresets_tpu.coresets import gaussian_tangent_family
-    from bayesian_coresets_tpu.coresets.bpsvi import bpsvi_build
+    from bayesian_coresets_tpu.coresets.bpsvi import (bpsvi_build,
+                                                      uniform_init_idcs)
     from bayesian_coresets_tpu.models import gaussian
 
     fam = gaussian_tangent_family(jnp.zeros(d), jnp.eye(d), jnp.eye(d), jnp.eye(d))
     x = gaussian.gen_synthetic(jax.random.key(1), n, d)
     xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    init = uniform_init_idcs(n, sz, jax.random.key(2))
     sched = lambda i: 1.0 / (1.0 + i)
     return bpsvi_build.lower(
-        xs, jax.random.key(0), family=fam, sz=sz, n_sub_opt=n_sub,
-        opt_itrs=10, step_sched=sched).compile().as_text()
+        xs, init, jax.random.key(0), family=fam, n_sub_opt=n_sub,
+        opt_itrs=10, step_sched=sched).compile()
+
+
+def _bpsvi_hlo(n, n_sub, mesh, d=8, sz=8):
+    return _bpsvi_compiled(n, n_sub, mesh, d, sz).as_text()
 
 
 @pytest.mark.parametrize("n_sub", [None, 256], ids=["full", "subsampled"])
@@ -167,6 +177,33 @@ def test_svi_bpsvi_sharded_collectives_are_n_independent(cpu_devices, kind,
     sig2 = sorted((op, nbytes) for op, nbytes, _ in stats2)
     assert sig1 == sig2, (
         f"{kind} collective bytes depend on n:\n{sig1}\nvs\n{sig2}")
+
+
+@pytest.mark.parametrize("n_sub", [None, 256], ids=["full", "subsampled"])
+@pytest.mark.parametrize("kind", ["svi", "bpsvi"])
+def test_svi_bpsvi_sharded_work_is_flat(cpu_devices, kind, n_sub):
+    """Weak scaling of the GSPMD svi/bpsvi builds: per-device compiled
+    FLOPs/bytes at 8 devices must match 4 devices when rows PER DEVICE are
+    constant (r3's lesson: collectives-only audits miss per-device work
+    inflation — a replicated (n, S) projection would double per-device
+    work here while keeping collective bytes capped).  The replicated
+    context refit is O(cap*d^2 + d^3), constant per device, so the ideal
+    ratio is 1.0; gross replication would measure ~2.0."""
+    n_per_dev = 1024
+    fn = _svi_compiled if kind == "svi" else _bpsvi_compiled
+
+    def cost(ndev):
+        mesh = make_mesh({"data": ndev}, devices=jax.devices()[:ndev])
+        ca = fn(n_per_dev * ndev, n_sub, mesh).cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0)), float(ca.get("bytes accessed", 0))
+
+    f4, b4 = cost(4)
+    f8, b8 = cost(8)
+    assert f8 <= f4 * 1.1 and b8 <= b4 * 1.1, (
+        f"per-device {kind} build work grows with the mesh at constant "
+        f"rows/device: flops {f4} -> {f8}, bytes {b4} -> {b8}")
 
 
 def test_detector_catches_replicated_v(cpu_devices):
