@@ -101,7 +101,10 @@ def _make_build(jax, jnp, n):
         # selection (see tests/test_snnls.py::test_reduced_precision_select).
         consts = snnls.make_consts(vecs.T, jnp.sum(vecs, axis=0),
                                    select_dtype=jnp.int8)
-        state = snnls.init_state(consts)
+        # support slots: the periodic exact-matvec refresh gathers the
+        # <=1024 tracked rows instead of streaming the full f32 (n, S) V
+        # (at N=1M that dense pass cost 2 GB / 64 iterations)
+        state = snnls.init_state(consts, max_active=1024)
         state = snnls.build(consts, state, M, 1e-6, method="giga")
         return state.w
 
@@ -119,6 +122,147 @@ def _arm(jax, build, Z, null_t, B, reps, key0):
         times.append(max(time.perf_counter() - t0 - null_t, 1e-9) / B)
     times.sort()
     return times[len(times) // 2], times, w
+
+
+def _n8m_resident_arm(jax, jnp, null_t):
+    """int8-RESIDENT build at N=8M — the regime where the round-3 closure
+    measured the select matmul at 756-758 GB/s end-to-end (>=8M rows, no
+    f32 (n, S) ever materialized).  The M=500 build here must land near
+    that rate; together with the N=1M attribution (per-iteration dispatch
+    overhead, scripts/probe_n1m_build.py) it reconciles the beyond-cache
+    regime against the chip's demonstrated streaming rate."""
+    from bayesian_coresets_tpu.coresets.projector import center_lls
+    from bayesian_coresets_tpu.coresets.hilbert import _write_chunk
+    from bayesian_coresets_tpu.models import logistic
+    from bayesian_coresets_tpu.ops import snnls
+    from bayesian_coresets_tpu.parallel.streamed import quantize_chunk
+
+    N8, CH = 8_000_000, 1_000_000
+    rows = -(-N8 // 1024) * 1024
+    Sp = -(-S // 128) * 128
+    ths = 0.1 * jax.random.normal(jax.random.key(7), (S, D), jnp.float32)
+
+    @jax.jit
+    def project_chunk(z):
+        q, nrm, bsum = quantize_chunk(
+            center_lls(logistic.log_likelihood(z, ths)), jnp.int32(CH))
+        return jnp.pad(q, ((0, 0), (0, Sp - q.shape[1]))), nrm, bsum
+
+    buf = jnp.zeros((rows, Sp), jnp.int8)
+    b = jnp.zeros((S,), jnp.float32)
+    norm_chunks = []
+    t0 = time.perf_counter()
+    for c in range(N8 // CH):
+        z = logistic.gen_synthetic(jax.random.key(100 + c), CH, D)
+        q, nrm, bsum = project_chunk(z)
+        buf, b = _write_chunk(buf, q, jnp.int32(c * CH), b, bsum)
+        norm_chunks.append(nrm)
+    norms = jnp.pad(jnp.concatenate(norm_chunks), (0, rows - N8),
+                    constant_values=1.0)
+    valid = jnp.arange(rows) < N8
+    consts = snnls.make_consts_quantized(
+        buf, norms, jnp.pad(b, (0, Sp - S)), valid=valid)
+    jax.device_get(consts.bnorm)
+    t_construct = time.perf_counter() - t0
+
+    def build(key):
+        state = snnls.init_state(consts, key, max_active=1024)
+        return snnls.build(consts, state, M, 1e-6, method="giga",
+                           matvec_k=1024)
+
+    st = build(jax.random.key(8))
+    jax.device_get(st.w[0])                           # compile + warm
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        st = build(jax.random.key(9 + i))
+        jax.device_get(st.w[0])
+        times.append(max(time.perf_counter() - t0 - null_t, 1e-9))
+    t = sorted(times)[1]
+    gbps = M * rows * Sp / 1e9 / t
+    return {
+        "metric": "coreset_points_per_sec_N8M_int8_resident",
+        "value": round(M / t, 2),
+        "unit": "points/s",
+        "per_iter_ms": round(1e3 * t / M, 3),
+        "implied_select_gbps": round(gbps, 1),
+        "calibrated_select_gbps": CALIBRATED_SELECT_GBPS,
+        "pct_of_calibrated": round(100 * gbps / CALIBRATED_SELECT_GBPS, 1),
+        "construction_s": round(t_construct, 2),
+        "note": "streamed int8-resident constructor (no f32 (n,S) ever "
+                "materialized); this is the regime the 753 GB/s ceiling "
+                "was calibrated in — per-iteration dispatch overhead is "
+                "amortized (5+ ms/iter vs ~0.1 ms overhead), unlike N=1M",
+    }
+
+
+def _sparsevi_arm(jax, jnp, null_t):
+    """SparseVI at the reference-canonical gaussian config (N=1000, d=200,
+    S=100, opt_itrs=50, M=30) — the exact workload the 46.4 s reference-CPU
+    baseline was measured on (PARITY_RESULTS.md 'SparseVI build
+    throughput'; reference coreset/sparsevi.py:16-76, SURVEY §3.2 calls
+    this THE dominant compute pattern)."""
+    import numpy as np
+    import bayesian_coresets_tpu as bc
+    from bayesian_coresets_tpu.coresets.sparsevi import svi_build
+    from bayesian_coresets_tpu.models import gaussian
+
+    REF_CPU_S = 46.4
+    Ns, d, Ss, Ms, opt_itrs = 1000, 200, 100, 30, 50
+    x = gaussian.gen_synthetic(jax.random.key(1), Ns, d)
+    mu0, Sig0inv, Siginv = jnp.zeros(d), jnp.eye(d), jnp.eye(d)
+    basis = jax.jit(gaussian.posterior_basis)(mu0, Sig0inv, Siginv)
+
+    def sampler(k, n, wts, pts):
+        if pts.size == 0:                 # projector-construction probe
+            wts, pts = jnp.zeros(1), jnp.zeros((1, d))
+        return gaussian.sample_weighted_post_basis(
+            k, basis, jnp.asarray(pts), jnp.asarray(wts), n)
+
+    loglik = lambda pts, th: gaussian.log_likelihood(pts, th, Siginv, 0.0)
+    prj = bc.BlackBoxProjector(sampler, Ss, loglik)
+    sched = lambda i: 1.0 / (1.0 + i)
+    cap = 32
+    w0, i0 = jnp.zeros(cap), jnp.full(cap, -1, jnp.int32)
+
+    def one(key):
+        return svi_build(x, w0, i0, jnp.int32(0), key, jnp.int32(Ms),
+                         family=prj.family, n_sub_sel=None, n_sub_opt=None,
+                         opt_itrs=opt_itrs, step_sched=sched)
+
+    r = one(jax.random.key(2))
+    jax.device_get(r[0][0])                           # compile + warm
+    # one M=30 build is ~10 ms against a ~30 ms relay null: enqueue B
+    # builds per fetch so the residual null error scales as 1/B
+    B = 8
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        for j in range(B):
+            r = one(jax.random.key(3 + B * i + j))
+        jax.device_get(r[0][0])
+        times.append((time.perf_counter() - t0 - null_t) / B)
+    t = sorted(times)[1]
+    steps = Ms * (1 + opt_itrs)      # select + opt_itrs contexts per iter
+    step_flops = 2 * Ss * d * d * 2 + 2 * (Ns + cap) * d * Ss
+    return {
+        "metric": "sparsevi_points_per_sec_canonical",
+        "value": round(Ms / t, 1),
+        "unit": "points/s",
+        "vs_baseline": round(REF_CPU_S / t, 1),
+        "baseline": "reference numpy SparseVI on this machine, 46.4 s to "
+                    "M=30 at the same config (PARITY_RESULTS.md)",
+        "build_s": round(t, 3),
+        "us_per_adam_step": round(1e6 * t / steps, 1),
+        "implied_gflops": round(steps * step_flops / t / 1e9, 1),
+        "bound": "latency-bound: each build iteration is (1+opt_itrs)=51 "
+                 "SEQUENTIAL context-refit+project Adam steps (~57 MFLOP "
+                 "each, measured ~7-10 us/step ~ 6 TFLOP/s — a few % of "
+                 "the MXU roof, so per-step time is kernel-launch "
+                 "granularity, not compute); the N=100k/n_sub=1024 arm "
+                 "(scripts/bench_svi_tpu.py) runs 100x the data at only "
+                 "~2x per-step cost, confirming the bound",
+    }
 
 
 def main():
@@ -158,6 +302,10 @@ def main():
     t1m, _, _ = _arm(jax, build1, Z1, null_t, B=2, reps=3, key0=200)
     np1 = -(-N1 // 1024) * 1024
     implied_1m_gbps = (M * np1 * sp / 1e9) / t1m
+
+    # ---- N=8M int8-resident arm + SparseVI canonical arm ----
+    print(json.dumps(_n8m_resident_arm(jax, jnp, null_t)))
+    print(json.dumps(_sparsevi_arm(jax, jnp, null_t)))
 
     # ---- weighted-NUTS line: sample the coreset posterior just built ----
     from bayesian_coresets_tpu import mcmc as MC
@@ -217,6 +365,13 @@ def main():
         "calibrated_select_gbps": CALIBRATED_SELECT_GBPS,
         "bandwidth_check": _bandwidth_verdict(implied_gbps, implied_1m_gbps),
         "points_per_s_N1M": round(M / t1m, 2),
+        "n1m_attribution": (
+            "scripts/probe_n1m_build.py: bare select matmul+argmax floor at "
+            "N=1M is 0.70 ms/iter (728 GB/s — the matmul itself runs ~3% "
+            "under the >=8M-rows calibration at this size); the full solver "
+            "adds ~0.10 ms/iter of per-iteration dispatch for its ~25 small "
+            "bookkeeping ops (row gather, O(S) reweight, monotone latch) — "
+            "amortized away at N=8M (see the int8-resident arm)"),
     }))
 
 
