@@ -393,3 +393,56 @@ def test_sampling_rank1_cache_matches_exact_matvec(rng):
     w = alg.weights()
     want = np.linalg.norm(np.asarray(A, np.float64) @ w - np.asarray(b, np.float64))
     np.testing.assert_allclose(alg.error(), want, rtol=1e-4, atol=1e-4)
+
+
+def test_giga_wscale_underflow_fold(rng):
+    """The scale-carried GIGA commit must fold the carried scalar back into
+    the raw weights before it underflows (_WSCALE_FLOOR): drive one step
+    directly with a near-floor aux.wscale and check the returned state
+    still encodes the TRUE weights exactly (w_out * wscale_out)."""
+    from bayesian_coresets_tpu.ops import snnls as S
+
+    A, b = _problem(rng, S=16, n=48)
+    consts = S.make_consts(jnp.asarray(A), jnp.asarray(b))
+    state = S.init_state(consts, max_active=16)
+    # establish a committed nonzero state first (true scale 1.0)
+    state = S.build(consts, state, 3, 1e-6, method="giga")
+    w_true = np.asarray(state.w)
+
+    # re-enter one raw step with a carried scale BELOW the fold floor:
+    # raw weights = true / ws  (what the loop would be carrying)
+    ws = S._WSCALE_FLOOR / 4.0
+    raw = state._replace(w=state.w / ws,
+                         xw=jnp.asarray(np.asarray(A, np.float64) @ w_true,
+                                        jnp.float32))
+    aux = S._aux_from_xw(consts, raw.xw, wscale=ws)
+    out = S._giga_step(consts, raw, aux, 1e-6)
+    w2, xw2, aux2 = out[0], out[1], out[8]
+    assert float(aux2.wscale) == 1.0, "fold must reset the carried scale"
+    # folded raw weights ARE the true weights now; the step committed one
+    # more atom on top of the round-3 state
+    w_folded = np.asarray(w2)
+    assert np.all(np.isfinite(w_folded))
+    err_new = float(aux2.err)
+    err_old = float(aux.err)
+    assert err_new <= err_old * (1.0 + 1e-5), "committed step must not regress"
+    # cached image matches the folded weights exactly on the support
+    np.testing.assert_allclose(
+        np.asarray(xw2), np.asarray(A, np.float64) @ w_folded,
+        rtol=2e-4, atol=2e-4)
+
+
+def test_bpsvi_uniform_init_idcs():
+    """Host-side init draw: deterministic in the key, without replacement,
+    in range."""
+    import jax as _jax
+    from bayesian_coresets_tpu.coresets.bpsvi import uniform_init_idcs
+
+    k = _jax.random.key(42)
+    a = np.asarray(uniform_init_idcs(1000, 64, k))
+    b2 = np.asarray(uniform_init_idcs(1000, 64, k))
+    np.testing.assert_array_equal(a, b2)
+    assert len(set(a.tolist())) == 64
+    assert a.min() >= 0 and a.max() < 1000
+    c = np.asarray(uniform_init_idcs(1000, 64, _jax.random.key(43)))
+    assert not np.array_equal(a, c)
