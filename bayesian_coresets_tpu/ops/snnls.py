@@ -555,7 +555,8 @@ class GigaAux(NamedTuple):
     = wscale * state.w; only the selected index is written per
     iteration), folded back into the weights at every matvec refresh
     trigger below the underflow floor and once when ``build`` returns.
-    Non-GIGA solvers never touch it (wscale stays 1.0).
+    GIGA and Frank-Wolfe carry it (both rescale globally per iteration);
+    the sampling/OMP solvers never touch it (wscale stays 1.0).
     """
 
     bxw: jax.Array    # b . xw
@@ -667,9 +668,25 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
     idcs2, size2, overflow = _track_support(state, f)
     commit = ok & ~overflow
 
+    aux_out = GigaAux(bxw=jnp.where(commit, aux2.bxw, aux.bxw),
+                      nw2=jnp.where(commit, aux2.nw2, aux.nw2),
+                      err=jnp.where(commit, aux2.err, aux.err),
+                      wscale=aux.wscale)
+    return _carried_commit(state, aux_out, f, alpha, ws, old_raw, new_wf,
+                           xw2, commit, ok, overflow, idcs2, size2,
+                           axes=axes)
+
+
+def _carried_commit(state, aux_out, f, alpha, ws, old_raw, new_wf, xw2,
+                    commit, ok, overflow, idcs2, size2, axes=None):
+    """Commit a scale-carried rank-1 weight update: the global alpha
+    rescale folds into aux.wscale (scalar), only index f is written, and
+    the commit decision gates that single write — no O(n) pass.  The
+    scale folds back into the raw weights (one O(n) pass, via lax.cond so
+    it only EXECUTES then) when it would underflow — including alpha == 0
+    (e.g. a first iteration that zeroes all prior weights)."""
     ws2 = alpha * ws
-    fold = ws2 < _WSCALE_FLOOR        # covers alpha == 0 (e.g. the first
-    #                                   iteration from an empty coreset)
+    fold = ws2 < _WSCALE_FLOOR
 
     def _fold_write(wr):              # materialize the scale, then write f
         return _set1(wr * ws2, f, new_wf, axes=axes)
@@ -680,10 +697,7 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
 
     w2 = jax.lax.cond(fold & commit, _fold_write, _raw_write, state.w)
     ws_out = jnp.where(commit, jnp.where(fold, 1.0, ws2), ws)
-    aux_out = GigaAux(bxw=jnp.where(commit, aux2.bxw, aux.bxw),
-                      nw2=jnp.where(commit, aux2.nw2, aux.nw2),
-                      err=jnp.where(commit, aux2.err, aux.err),
-                      wscale=ws_out)
+    aux_out = aux_out._replace(wscale=ws_out)
     xw_out = jnp.where(commit, xw2, state.xw)
     idcs_out = jnp.where(commit, idcs2, state.idcs)
     size_out = jnp.where(commit, size2, state.size)
@@ -697,6 +711,9 @@ def _giga_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
 
 def _fw_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
              axes=None):
+    """Frank-Wolfe step, scale-carried and self-committing like GIGA: the
+    per-iteration global rescale w <- (1-gamma) w rides aux.wscale and
+    only the selected index is written (no O(n) weight passes)."""
     resid = consts.b - state.xw
     rn, _ = _normalize(resid, axes=axes)  # scale-invariant for the argmax
     dots = _select_dots(consts, rn, axes=axes)
@@ -706,7 +723,10 @@ def _fw_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
     nsum = _psum_n(jnp.sum(jnp.where(consts.valid, consts.norms, 0.0)), axes)
     nf = _get1(consts.norms, f, axes=axes)
     xf = _v_row(consts, f, axes=axes)
-    size_zero = ~_any_pos(state.w, axes=axes)
+    if state.idcs.shape[0]:
+        size_zero = state.size == 0
+    else:
+        size_zero = ~_any_pos(state.w, axes=axes)
 
     # line search (frankwolfe.py:26-37)
     dvec = nsum / nf * xf - state.xw
@@ -718,9 +738,24 @@ def _fw_step(consts: SNNLSConsts, state: SNNLSState, aux: GigaAux, tol,
     beta = jnp.where(size_zero, nsum / nf, nsum / nf * gamma)
     ok = ok | size_zero                              # first-point vertex init
 
-    w, xw = _rank1_update(state, consts, f, alpha, beta, axes=axes)
-    idcs, size, overflow = _track_support(state, f)
-    return w, xw, state.cts, idcs, size, state.key, ok, overflow, aux
+    ws = aux.wscale
+    old_raw = _get1(state.w, f, axes=axes)
+    old_wf = ws * old_raw
+    new_wf = jnp.maximum(0.0, alpha * old_wf + beta)
+    delta = new_wf - alpha * old_wf
+    xw2 = alpha * state.xw + delta * xf
+
+    # monotonicity check in-step (reference snnls.py:54-61) so the commit
+    # gates the single-index write; FW carries no scalar error cache, so
+    # both errors are the O(S) cached reductions
+    prev_err = _cached_error(consts, state.xw, axes=axes)
+    new_err = _cached_error(consts, xw2, axes=axes)
+    ok = ok & (size_zero | (new_err <= prev_err * (1.0 + tol)))
+    ok = ok & jnp.isfinite(new_err)
+    idcs2, size2, overflow = _track_support(state, f)
+    commit = ok & ~overflow
+    return _carried_commit(state, aux, f, alpha, ws, old_raw, new_wf, xw2,
+                           commit, ok, overflow, idcs2, size2, axes=axes)
 
 
 # ---------------------------------------------------------------------------
@@ -871,11 +906,11 @@ def build_core(consts: SNNLSConsts, state: SNNLSState, itrs, tol,
         s, _ = carry
         return (s.itr < itr_end) & ~s.done
 
-    # GIGA commits inside the step (scale-carried single-index weight
-    # write + in-step monotone gate) so the body must not re-apply the
-    # O(n) candidate/rollback selects; other solvers keep the generic
-    # commit machinery below
-    self_commit = method == "giga"
+    # GIGA and Frank-Wolfe commit inside the step (scale-carried
+    # single-index weight write + in-step monotone gate) so the body must
+    # not re-apply the O(n) candidate/rollback selects; other solvers keep
+    # the generic commit machinery below
+    self_commit = method in ("giga", "frankwolfe")
 
     def body(carry):
         s, aux = carry
