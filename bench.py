@@ -323,10 +323,16 @@ def main():
 
     _, _, res = run_nuts(jax.random.key(5))    # compile + adapt warm
     jax.device_get(res.samples[0, 0, 0])
-    t0 = time.perf_counter()
-    _, _, res = run_nuts(jax.random.key(6))
-    jax.device_get(res.samples[0, 0, 0])
-    t_nuts = time.perf_counter() - t0 - null_t
+    # median of 3 timed reps: a ~13 s single-shot rep carries several
+    # percent of relay/chip run-to-run variance (measured 10.4-12.1k
+    # samples/s across rounds on identical code)
+    nuts_times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _, _, res = run_nuts(jax.random.key(6 + i))
+        jax.device_get(res.samples[0, 0, 0])
+        nuts_times.append(time.perf_counter() - t0 - null_t)
+    t_nuts = sorted(nuts_times)[1]
     nuts_sps = NUTS_CHAINS * NUTS_DRAWS / t_nuts
     min_ess_per_s = float(np.min(np.asarray(MC.ess(res.samples)))) / t_nuts
     max_rhat = float(np.max(np.asarray(MC.split_rhat(res.samples))))
