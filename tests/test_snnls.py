@@ -446,3 +446,30 @@ def test_bpsvi_uniform_init_idcs():
     assert a.min() >= 0 and a.max() < 1000
     c = np.asarray(uniform_init_idcs(1000, 64, _jax.random.key(43)))
     assert not np.array_equal(a, c)
+
+
+def test_giga_long_build_refresh_exactness(rng):
+    """A 200-iteration GIGA build crosses the REFRESH_EVERY cadence three
+    times: the support-gather refresh and the scale-carry fold must keep
+    the cached state consistent — the final error() must match a dense
+    f64 recomputation from the returned (true-scale) weights."""
+    A, b = _problem(rng, S=30, n=400)
+    alg = GIGA(A, b, max_active=256)
+    alg.build(200)
+    w = alg.weights()
+    assert (w >= 0).all()
+    want = np.linalg.norm(np.asarray(A, np.float64) @ w - np.asarray(b, np.float64))
+    np.testing.assert_allclose(alg.error(), want, rtol=1e-4, atol=1e-5)
+
+
+def test_fw_long_build_refresh_exactness(rng):
+    """Same refresh/scale-carry consistency check for Frank-Wolfe."""
+    from bayesian_coresets_tpu.ops import snnls as S
+
+    A, b = _problem(rng, S=30, n=400)
+    alg = FrankWolfe(A, b, max_active=256)
+    alg.build(200)
+    w = alg.weights()
+    assert (w >= 0).all()
+    want = np.linalg.norm(np.asarray(A, np.float64) @ w - np.asarray(b, np.float64))
+    np.testing.assert_allclose(alg.error(), want, rtol=1e-4, atol=1e-5)
